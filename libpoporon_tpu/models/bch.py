@@ -1,0 +1,354 @@
+"""Binary BCH codec, TPU-native.
+
+Re-design of the reference BCH implementation (src/bch.c) for batched
+execution: the reference processes one <=31-bit codeword per call with
+bit loops; here a whole uint32 batch is decoded at once.
+
+* Generator construction (LCM of minimal polynomials over conjugacy
+  classes, bch.c:168-286) is host-side Python, bit-exact.
+* Encoding (polynomial long division, bch.c:352-380) is GF(2)-linear in
+  the data bits -> precomputed remainder matrix, one matmul mod 2.
+* Syndromes (bch.c:25-51) are GF(2)-linear in the received bits ->
+  matmul mod 2 against a [n, 2t*m] constant matrix.
+* Berlekamp-Massey (bch.c:78-142) runs as a fixed 2t-trip batched loop
+  with branchless selects.
+* Chien search (bch.c:144-166) evaluates the locator at all n points
+  with one matmul (coefficients masked to degree error_count, matching
+  bch_poly_eval's explicit degree bound).
+
+NOTE: the reference packs codewords in a uint32, so m=6 (n=63) invokes
+undefined shifts in C; this implementation uses 64-bit words and is
+well-defined for m <= 6, with bit-exactness vs the reference guaranteed
+(and tested) for m <= 5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BchConfig
+from ..ops.gf import GF, GFError
+from ..ops.gf2 import gf2_matmul
+from .rs import _xor_reduce, _symbols_to_bits, _bits_to_symbols
+
+_BCH_MAX_POLY = 64
+_BCH_MAX_T = 16
+
+
+def _min_poly(gf: GF, exp: int) -> int:
+    """Binary minimal polynomial of alpha^exp (bch.c:168-207)."""
+    fs = gf.field_size
+    poly = [0] * _BCH_MAX_POLY
+    poly[0] = 1
+    deg = 0
+    conj = exp
+    while True:
+        root = int(gf.log2exp[conj])
+        for j in range(deg, -1, -1):
+            if j + 1 < _BCH_MAX_POLY:
+                poly[j + 1] ^= poly[j]
+            if poly[j] != 0 and root != 0:
+                lp = (int(gf.exp2log[poly[j]]) + int(gf.exp2log[root])) % fs
+                poly[j] = int(gf.log2exp[lp])
+            else:
+                poly[j] = 0
+        deg += 1
+        conj = (conj * 2) % fs
+        if conj == exp:
+            break
+    out = 0
+    for i in range(deg + 1):
+        if poly[i] == 1:
+            out |= 1 << i
+    return out
+
+
+def _poly_deg(p: int) -> int:
+    return p.bit_length() - 1 if p else -1
+
+
+class BCHCodec:
+    """Batched binary BCH over GF(2^m), codewords as integer words."""
+
+    def __init__(self, cfg: BchConfig):
+        if cfg.symbol_size < 3 or cfg.symbol_size > 16:
+            raise GFError("BCH symbol_size must be in [3, 16] (bch.c:293)")
+        if not (1 <= cfg.correction_capability <= _BCH_MAX_T):
+            raise GFError("BCH t must be in [1, 16] (bch.c:297)")
+        gf = GF(cfg.symbol_size, cfg.generator_polynomial)
+        self.gf = gf
+        self.m = gf.symbol_size
+        self.fs = gf.field_size
+        self.t = int(cfg.correction_capability)
+        self.n = (1 << self.m) - 1  # codeword_length
+
+        # generator = LCM of minimal polys of alpha^1..alpha^2t (bch.c:241-286)
+        used = [False] * (self.fs + 1)
+        gen, gen_deg = 1, 0
+        for i in range(1, 2 * self.t + 1):
+            r = i % self.fs
+            if used[r]:
+                continue
+            c = r
+            while True:
+                used[c] = True
+                c = (c * 2) % self.fs
+                if c == r:
+                    break
+            mp = _min_poly(gf, r)
+            # binary polynomial multiply
+            acc = 0
+            a = gen
+            sh = 0
+            while a:
+                if a & 1:
+                    acc ^= mp << sh
+                a >>= 1
+                sh += 1
+            gen = acc
+            gen_deg = _poly_deg(gen)
+        self.gen_poly = gen
+        self.gen_poly_deg = gen_deg
+        self.parity_bits = gen_deg
+        self.data_length = self.n - self.parity_bits
+
+        self._build_matrices()
+
+    # ------------------------------------------------------------ build
+
+    def _encode_word(self, data: int) -> int:
+        """Scalar long-division encoder (bch.c:352-380 semantics)."""
+        shifted = data << self.parity_bits
+        rem = shifted
+        for i in range(self.n - 1, self.gen_poly_deg - 1, -1):
+            if rem & (1 << i):
+                rem ^= self.gen_poly << (i - self.gen_poly_deg)
+        return shifted ^ rem
+
+    def _build_matrices(self):
+        gf, m, n, t = self.gf, self.m, self.n, self.t
+        fs = self.fs
+        # Remainder matrix: parity bits of each data-bit basis vector.
+        R = np.zeros((self.data_length, self.parity_bits), dtype=np.uint8)
+        pmask = (1 << self.parity_bits) - 1
+        for i in range(self.data_length):
+            cw = self._encode_word(1 << i)
+            p = cw & pmask
+            for b in range(self.parity_bits):
+                R[i, b] = (p >> b) & 1  # LSB-first parity bit order
+        self.R_enc = jnp.asarray(R, dtype=jnp.float32)
+
+        # Syndrome constants: S_i ^= log2exp[((i+1)*j) % fs] for set bit j
+        j = np.arange(n, dtype=np.int64)[:, None]
+        i = np.arange(2 * t, dtype=np.int64)[None, :]
+        syn_consts = gf.log2exp[((i + 1) * j) % fs]           # [n, 2t]
+        self.G_syn = jnp.asarray(gf.linear_matrix(syn_consts), dtype=jnp.float32)
+
+        # Chien constants: eval at x = alpha^{(fs - i) % fs}, i = 0..n-1:
+        # term_{c,i} = lambda_c * alpha^{(c * (fs - i)) % fs}
+        c = np.arange(_BCH_MAX_POLY, dtype=np.int64)[:, None]
+        ii = np.arange(n, dtype=np.int64)[None, :]
+        logx = (fs - ii) % fs
+        chien_consts = gf.log2exp[(c * logx) % fs % fs]       # [64, n]
+        self.M_chien = jnp.asarray(gf.linear_matrix(chien_consts), dtype=jnp.float32)
+
+        self.log2exp_j = jnp.asarray(gf.log2exp, dtype=jnp.int32)
+        self.exp2log_j = jnp.asarray(gf.exp2log, dtype=jnp.int32)
+
+    # ------------------------------------------------------- word codec
+
+    def _word_bits(self, w):
+        """int word [B] -> LSB-first bits [B, n]."""
+        shifts = jnp.arange(self.n, dtype=jnp.int64)
+        return ((w.astype(jnp.int64)[:, None] >> shifts) & 1).astype(jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode(self, data):
+        """data int words [B] -> codeword words [B] (no validity check)."""
+        shifts = jnp.arange(self.data_length, dtype=jnp.int64)
+        bits = ((data.astype(jnp.int64)[:, None] >> shifts) & 1).astype(jnp.float32)
+        pbits = gf2_matmul(bits, self.R_enc).astype(jnp.int64)  # [B, parity]
+        pw = (pbits << jnp.arange(self.parity_bits, dtype=jnp.int64)).sum(axis=1)
+        return (data.astype(jnp.int64) << self.parity_bits) ^ pw
+
+    def encode(self, data):
+        """Batched word encode; returns (ok [B], codeword [B] int64)."""
+        data = jnp.asarray(data)
+        squeeze = data.ndim == 0
+        if squeeze:
+            data = data[None]
+        ok = data.astype(jnp.int64) < (1 << self.data_length)
+        cw = self._encode(data)
+        cw = jnp.where(ok, cw, 0)
+        return (ok[0], cw[0]) if squeeze else (ok, cw)
+
+    def _syndromes(self, bits):
+        """[B, n] bits -> normal-domain syndromes [B, 2t]."""
+        sbits = gf2_matmul(bits.astype(jnp.float32), self.G_syn)
+        return _bits_to_symbols(sbits, self.m)
+
+    def _berlekamp_massey(self, S):
+        """bch.c:78-142, batched.  S: [B, 2t] normal-domain syndromes.
+        Returns (error_locator [B, 64], error_count [B])."""
+        B = S.shape[0]
+        fs = self.fs
+        log2exp, exp2log = self.log2exp_j, self.exp2log_j
+        P = _BCH_MAX_POLY
+        lane = jnp.arange(P, dtype=jnp.int32)[None, :]
+
+        current = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
+        prev = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
+        ec = jnp.zeros((B,), jnp.int32)
+        shift = jnp.ones((B,), jnp.int32)
+        prev_disc = jnp.ones((B,), jnp.int32)
+
+        def body(it, state):
+            current, prev, ec, shift, prev_disc = state
+            # discrepancy (bch.c:98-105)
+            s_at = jnp.take_along_axis(
+                S, jnp.broadcast_to(jnp.clip(it - lane, 0, 2 * self.t - 1), (B, P)),
+                axis=1,
+            )
+            valid = (lane >= 1) & (lane <= ec[:, None]) & (lane <= it)
+            contrib = jnp.where(
+                valid & (current != 0) & (s_at != 0),
+                jnp.take(
+                    log2exp,
+                    (jnp.take(exp2log, current) + jnp.take(exp2log, s_at)) % fs,
+                ),
+                0,
+            )
+            s_it = jnp.take(S, it, axis=1)
+            disc = s_it ^ _xor_reduce(contrib, 1)
+
+            no_disc = disc == 0
+            log_mult = (
+                fs - jnp.take(exp2log, prev_disc) + jnp.take(exp2log, disc)
+            ) % fs
+            # shifted update: current[i+shift] ^= prev[i] * multiplier
+            src = lane - shift[:, None]
+            upd_src = jnp.take_along_axis(prev, jnp.clip(src, 0, P - 1), axis=1)
+            upd_valid = (src >= 0) & (upd_src != 0)
+            upd = jnp.where(
+                upd_valid,
+                jnp.take(
+                    log2exp, (jnp.take(exp2log, upd_src) + log_mult[:, None]) % fs
+                ),
+                0,
+            )
+            new_current = current ^ upd
+            grow = 2 * ec <= it
+
+            current2 = jnp.where(no_disc[:, None], current, new_current)
+            prev2 = jnp.where(
+                (no_disc | ~grow)[:, None], prev, current
+            )
+            ec2 = jnp.where(no_disc | ~grow, ec, it + 1 - ec)
+            prev_disc2 = jnp.where(no_disc | ~grow, prev_disc, disc)
+            shift2 = jnp.where(no_disc, shift + 1, jnp.where(grow, 1, shift + 1))
+            return current2, prev2, ec2, shift2, prev_disc2
+
+        current, prev, ec, shift, prev_disc = jax.lax.fori_loop(
+            0, 2 * self.t, body, (current, prev, ec, shift, prev_disc)
+        )
+        return current, ec
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode(self, received):
+        """received int words [B] -> (ok, corrected words, num_errors)."""
+        B = received.shape[0]
+        mask_n = (1 << self.n) - 1
+        received = received.astype(jnp.int64) & mask_n
+        bits = self._word_bits(received)
+        S = self._syndromes(bits)
+        clean = ~jnp.any(S != 0, axis=1)
+
+        locator, ec = self._berlekamp_massey(S)
+        fail_t = ec > self.t
+
+        # Chien: mask coefficients to degree ec (bch_poly_eval degree arg)
+        lane = jnp.arange(_BCH_MAX_POLY, dtype=jnp.int32)[None, :]
+        lam = jnp.where(lane <= ec[:, None], locator, 0)
+        lam_bits = _symbols_to_bits(lam, self.m).astype(jnp.float32)
+        ev_bits = gf2_matmul(lam_bits, self.M_chien)
+        evals = _bits_to_symbols(ev_bits, self.m)              # [B, n]
+        root_mask = evals == 0
+        cum = jnp.cumsum(root_mask.astype(jnp.int32), axis=1)
+        selected = root_mask & (cum <= ec[:, None])
+        found = selected.astype(jnp.int32).sum(axis=1)
+        fail_found = found != ec
+
+        pos_vals = jnp.arange(self.n, dtype=jnp.int64)[None, :]
+        flip = jnp.where(selected, jnp.int64(1) << pos_vals, 0).sum(axis=1)
+        corrected = received ^ flip
+
+        S2 = self._syndromes(self._word_bits(corrected))
+        fail_verify = jnp.any(S2 != 0, axis=1)
+
+        ok = clean | ~(fail_t | fail_found | fail_verify)
+        num_errors = jnp.where(clean, 0, jnp.where(ok, found, 0))
+        out = jnp.where(clean | ~ok, received, corrected)
+        return ok, out, num_errors
+
+    def decode(self, received):
+        """Batched word decode -> (ok [B], corrected [B], num_errors [B])."""
+        received = jnp.asarray(received)
+        squeeze = received.ndim == 0
+        if squeeze:
+            received = received[None]
+        ok, cw, ne = self._decode(received)
+        return (ok[0], cw[0], ne[0]) if squeeze else (ok, cw, ne)
+
+    def extract_data(self, codeword):
+        """bch.c:437-444."""
+        cw = jnp.asarray(codeword).astype(jnp.int64)
+        return (cw >> self.parity_bits) & ((1 << self.data_length) - 1)
+
+    # ------------------------------------------------ facade byte layer
+
+    @property
+    def data_bytes(self) -> int:
+        return (self.data_length + 7) // 8
+
+    @property
+    def parity_bytes(self) -> int:
+        return (self.parity_bits + 7) // 8
+
+    def pack_data(self, data):
+        """Big-endian byte pack (encode.c:215-221), batched [B, data_bytes]."""
+        data = jnp.asarray(data).astype(jnp.int64)
+        nb = min(self.data_bytes, 4)
+        weights = jnp.left_shift(
+            jnp.int64(1), 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int64)
+        )[:nb]
+        val = (data[..., :nb] * weights).sum(axis=-1)
+        if self.data_length < 32:
+            val = val & ((1 << self.data_length) - 1)
+        return val
+
+    def unpack_data(self, val):
+        """Big-endian byte unpack (decode.c:585-587)."""
+        val = jnp.asarray(val).astype(jnp.int64)
+        shifts = 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int64)
+        return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
+
+    def pack_parity(self, parity):
+        parity = jnp.asarray(parity).astype(jnp.int64)
+        nb = min(self.parity_bytes, 4)
+        weights = jnp.left_shift(
+            jnp.int64(1),
+            8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int64),
+        )[:nb]
+        val = (parity[..., :nb] * weights).sum(axis=-1)
+        if self.parity_bits < 32:
+            val = val & ((1 << self.parity_bits) - 1)
+        return val
+
+    def unpack_parity(self, val):
+        val = jnp.asarray(val).astype(jnp.int64)
+        shifts = 8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int64)
+        return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)

@@ -1,0 +1,589 @@
+"""LDPC codec, TPU-native.
+
+Re-design of the reference LDPC implementation (src/ldpc.c) for batched
+TPU execution:
+
+* All *structure* (parity-check matrix, interleavers) is built once on
+  the host, bit-exact with the reference — including the seeded
+  xoshiro draw order, the double count/fill RNG pass
+  (ldpc.c:310-355), the dual-diagonal staircase parity part
+  (ldpc.c:357-368), the QC lifting rules (ldpc.c:425-436) and the
+  Fisher-Yates interleavers (ldpc.c:150-281).
+
+* The min-sum belief-propagation decoder (ldpc.c:693-778) runs as a
+  batched jitted loop over DENSE padded layouts instead of per-edge
+  scalar loops: variable-to-check messages live in a var-centric
+  [B, V, dv_max] tensor (info columns have exactly column_weight edges,
+  parity columns <= 2, so padding waste is tiny), check-node updates
+  gather them into a check-centric [B, C, dc_max] view with
+  *constant* indices, and no scatters are needed anywhere — each
+  layout is the gather-inverse of the other.
+
+* Early termination is per-batch-element: a converged mask freezes each
+  element's output at its first syndrome-clean iteration (matching the
+  reference's early return, ldpc.c:1008-1015) while the whole batch
+  exits as soon as every element has converged (lax.while_loop).
+
+Integer semantics (int16 saturation at +/-32000, int32 accumulation,
+alpha = 15/16 truncating division, first-minimum tie-breaking) follow
+internal/ldpc.h:15-17,105-129 and ldpc.c:693-766 exactly; outputs are
+bit-identical to the C library (tests/test_oracle_compat.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LdpcConfig, LdpcMatrixType, LdpcRate
+from ..utils.rng import Xoshiro128pp
+from ..utils import bits as bitutils
+
+MIN_BLOCK_SIZE = 32
+MAX_BLOCK_SIZE = 8192
+MIN_COL_WEIGHT = 3
+MAX_COL_WEIGHT = 8
+DEFAULT_MAX_ITERATIONS = 50
+LLR_MAX = 32000
+LLR_MIN = -32000
+LLR_INFINITY = 30000
+LLR_SCALE = 256
+
+
+class LdpcError(ValueError):
+    pass
+
+
+# =====================================================================
+# Host-side structure construction (bit-exact with ldpc.c)
+# =====================================================================
+
+class LdpcStructure:
+    def __init__(self, cfg: LdpcConfig):
+        if (
+            cfg.block_size < MIN_BLOCK_SIZE
+            or cfg.block_size > MAX_BLOCK_SIZE
+            or cfg.block_size % 4 != 0
+        ):
+            raise LdpcError(f"invalid block_size {cfg.block_size} (ldpc.c:821)")
+        try:
+            rate = LdpcRate(cfg.rate)
+        except ValueError as e:
+            raise LdpcError("invalid rate (ldpc.c:825)") from e
+        self.cfg = cfg
+        info_num, parity_num = rate.ratio
+        self.info_bits = cfg.block_size * 8
+        self.parity_bits = (self.info_bits * parity_num) // info_num
+        self.codeword_bits = self.info_bits + self.parity_bits
+        self.info_bytes = cfg.block_size
+        self.parity_bytes = (self.parity_bits + 7) // 8
+        self.codeword_bytes = self.info_bytes + self.parity_bytes
+
+        cw = min(max(cfg.column_weight, MIN_COL_WEIGHT), MAX_COL_WEIGHT)
+        self.col_weight = cw
+
+        if cfg.matrix_type == LdpcMatrixType.QC_RANDOM:
+            self._build_qc(cw)
+        else:
+            self._build_random(cw)
+        self._build_column_view()
+        self._build_interleaver()
+        self._build_outer_interleaver()
+
+    # -------------------------------------------------- matrix builders
+
+    def _place_info_edges(self, targets: np.ndarray, info_cols: np.ndarray):
+        """Shared CSR fill: info edges in draw order, then the staircase
+        parity columns (ldpc.c:326-368)."""
+        P = self.parity_bits
+        V = self.codeword_bits
+        info_counts = np.bincount(targets, minlength=P).astype(np.int64)
+        row_counts = info_counts + np.where(np.arange(P) == 0, 1, 2)
+        row_ptr = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(row_counts, out=row_ptr[1:])
+        used = int(row_ptr[-1])
+        col_idx = np.zeros(used, dtype=np.int64)
+
+        # info edges: within each row, in draw order (stable sort)
+        order = np.argsort(targets, kind="stable")
+        st = targets[order]
+        info_start = np.zeros(P, dtype=np.int64)
+        np.cumsum(info_counts[:-1], out=info_start[1:])
+        ranks = np.arange(len(targets), dtype=np.int64) - info_start[st]
+        col_idx[row_ptr[st] + ranks] = info_cols[order]
+
+        # staircase parity part
+        rows = np.arange(P, dtype=np.int64)
+        base = row_ptr[rows] + info_counts
+        col_idx[base[0]] = self.info_bits  # row 0: only its own parity col
+        col_idx[base[1:]] = self.info_bits + rows[1:] - 1
+        col_idx[base[1:] + 1] = self.info_bits + rows[1:]
+
+        self.row_ptr = row_ptr
+        self.col_idx = col_idx
+        self.num_checks = P
+        self.num_bits = V
+        self.num_edges_used = used
+
+    def _build_random(self, cw: int):
+        """ldpc.c:283-411 — two identical RNG passes (count, then fill)."""
+        seed = self.cfg.seed & 0xFFFFFFFF
+        # pass 1 (counts) and pass 2 (fill) draw identical streams from
+        # freshly-seeded RNGs, so one bulk draw serves both.
+        rng = Xoshiro128pp(seed)
+        draws = rng.draw_u32(self.info_bits * cw)
+        targets = (draws % np.uint32(self.parity_bits)).astype(np.int64)
+        info_cols = np.repeat(np.arange(self.info_bits, dtype=np.int64), cw)
+        self.num_edges_alloc = self.info_bits * cw + 2 * self.parity_bits - 1
+        self._place_info_edges(targets, info_cols)
+
+    def _build_qc(self, cw: int):
+        """ldpc.c:413-582 — quasi-cyclic lifting; out-of-range rows are
+        dropped (ldpc.c:480-483)."""
+        lifting = self.cfg.lifting_factor
+        if lifting == 0:
+            lifting = self.parity_bits // 8
+            lifting = max(lifting, 4)
+            lifting = min(lifting, 256)
+            while lifting & (lifting - 1):
+                lifting &= lifting - 1
+        self.lifting_factor = lifting
+        base_rows = (self.parity_bits + lifting - 1) // lifting
+
+        seed = self.cfg.seed & 0xFFFFFFFF
+        rng = Xoshiro128pp(seed)
+        draws = rng.draw_u32(self.info_bits * cw * 2).astype(np.int64)
+        block_row = draws[0::2] % base_rows
+        shift = draws[1::2] % lifting
+        i_idx = np.repeat(np.arange(self.info_bits, dtype=np.int64), cw)
+        pos_in_block = i_idx % lifting
+        row_in_block = (pos_in_block + shift) % lifting
+        targets = block_row * lifting + row_in_block
+        valid = targets < self.parity_bits
+        self.num_edges_alloc = self.info_bits * cw + 2 * self.parity_bits - 1
+        self._place_info_edges(targets[valid], i_idx[valid])
+
+    def _build_column_view(self):
+        """CSC view in row-scan order (ldpc.c:373-408)."""
+        P = self.num_checks
+        row_counts = np.diff(self.row_ptr)
+        erow = np.repeat(np.arange(P, dtype=np.int64), row_counts)
+        order = np.argsort(self.col_idx, kind="stable")
+        col_counts = np.bincount(self.col_idx, minlength=self.num_bits)
+        col_ptr = np.zeros(self.num_bits + 1, dtype=np.int64)
+        np.cumsum(col_counts, out=col_ptr[1:])
+        self.col_ptr = col_ptr
+        self.cv_row_idx = erow[order]
+        self.cv_edge_idx = order.astype(np.int64)
+        self.erow = erow
+
+    # ------------------------------------------------------ interleavers
+
+    def _build_interleaver(self):
+        """ldpc.c:150-234."""
+        cfg = self.cfg
+        if not cfg.use_inner_interleave:
+            self.inner_forward = None
+            self.inner_inverse = None
+            self.inner_depth = 0
+            return
+        bits_n = self.codeword_bits
+        depth = cfg.interleave_depth
+        if depth == 0:
+            depth = bits_n // 4
+            depth = max(depth, 8)
+            depth = min(depth, 256)
+        width = (bits_n + depth - 1) // depth
+        col_perm = np.arange(width, dtype=np.int64)
+        seed = (cfg.seed ^ bits_n) & 0xFFFFFFFF
+        rng = Xoshiro128pp(seed)
+        for i in range(width - 1, 0, -1):
+            j = rng.next_u32() % (i + 1)
+            col_perm[i], col_perm[j] = col_perm[j], col_perm[i]
+
+        i_arr = np.arange(bits_n, dtype=np.int64)
+        row = i_arr // width
+        col = i_arr % width
+        pos = col_perm[col] * depth + row
+        fwd = np.where((row < depth) & (pos < bits_n), pos, i_arr)
+        inv = np.zeros(bits_n, dtype=np.int64)
+        for i in range(bits_n):  # write order matters if fwd collides
+            inv[fwd[i]] = i
+        self.inner_forward = fwd
+        self.inner_inverse = inv
+        self.inner_depth = depth
+        # Gather formulations of the reference's scatter loops
+        # (interleave_bits/deinterleave_bits, ldpc.c:88-120): out is
+        # zeroed first and writes happen in ascending i (last wins), so
+        # out[j] = in[g[j]] with g the last preimage, -1 -> 0.
+        inter_g = np.full(bits_n, -1, dtype=np.int64)
+        inter_g[fwd] = i_arr          # ascending i => last wins
+        deinter_g = np.full(bits_n, -1, dtype=np.int64)
+        deinter_g[inv] = i_arr
+        self.inner_interleave_gather = inter_g
+        self.inner_deinterleave_gather = deinter_g
+
+    def _build_outer_interleaver(self):
+        """ldpc.c:236-281 — byte-level Fisher-Yates over the info bytes."""
+        cfg = self.cfg
+        if not cfg.use_outer_interleave:
+            self.outer_forward = None
+            self.outer_inverse = None
+            return
+        n = self.info_bytes
+        fwd = np.arange(n, dtype=np.int64)
+        seed = (cfg.seed ^ (self.info_bits ^ 0xDEADBEEF)) & 0xFFFFFFFF
+        rng = Xoshiro128pp(seed)
+        for i in range(n - 1, 0, -1):
+            j = rng.next_u32() % (i + 1)
+            fwd[i], fwd[j] = fwd[j], fwd[i]
+        inv = np.zeros(n, dtype=np.int64)
+        inv[fwd] = np.arange(n, dtype=np.int64)
+        self.outer_forward = fwd
+        self.outer_inverse = inv
+
+    # ---------------------------------------------- decoder layout prep
+
+    def decoder_layout(self):
+        """Padded dual layouts + gather index maps for the BP kernel."""
+        P, V = self.num_checks, self.num_bits
+        E = self.num_edges_used
+        row_counts = np.diff(self.row_ptr)
+        col_counts = np.diff(self.col_ptr)
+        dc = int(row_counts.max())
+        dv = int(col_counts.max())
+
+        # edge -> (check, slot) in CSR order
+        e_c = self.erow
+        e_s = np.arange(E, dtype=np.int64) - self.row_ptr[e_c]
+        # edge -> (var, slot) in column-view order
+        e_v = np.zeros(E, dtype=np.int64)
+        e_t = np.zeros(E, dtype=np.int64)
+        cv_pos = np.arange(E, dtype=np.int64)
+        e_v[self.cv_edge_idx] = self.col_idx[self.cv_edge_idx]
+        e_t[self.cv_edge_idx] = cv_pos - self.col_ptr[self.col_idx[self.cv_edge_idx]]
+
+        # check-centric gather of var-centric messages
+        check_gather = np.full((P, dc), V * dv, dtype=np.int64)  # sentinel
+        check_gather[e_c, e_s] = e_v * dv + e_t
+        # var-centric gather of check-centric messages
+        var_gather = np.full((V, dv), P * dc, dtype=np.int64)
+        var_gather[e_v, e_t] = e_c * dc + e_s
+        # column index per check slot (for syndrome checks)
+        row2col = np.full((P, dc), V, dtype=np.int64)
+        row2col[e_c, e_s] = self.col_idx
+
+        # info-only row slots for the staircase encoder
+        info_mask = self.col_idx < self.info_bits
+        ic = self.erow[info_mask]
+        icol = self.col_idx[info_mask]
+        irank = np.zeros(len(ic), dtype=np.int64)
+        # rank within row among info entries (CSR order => info entries
+        # are contiguous from row start)
+        irank = np.arange(E, dtype=np.int64)[info_mask] - self.row_ptr[ic]
+        dci = int(np.bincount(ic, minlength=P).max()) if len(ic) else 1
+        row_info = np.full((P, dci), self.info_bits, dtype=np.int64)
+        row_info[ic, irank] = icol
+
+        return dict(
+            dc=dc, dv=dv, dci=dci,
+            check_gather=check_gather, var_gather=var_gather,
+            row2col=row2col, row_info=row_info,
+        )
+
+
+_STRUCT_CACHE: dict = {}
+
+
+def get_structure(cfg: LdpcConfig) -> LdpcStructure:
+    key = (
+        cfg.block_size, int(cfg.rate), int(cfg.matrix_type), cfg.column_weight,
+        cfg.use_inner_interleave, cfg.use_outer_interleave,
+        cfg.interleave_depth, cfg.lifting_factor, cfg.seed,
+    )
+    s = _STRUCT_CACHE.get(key)
+    if s is None:
+        s = LdpcStructure(cfg)
+        _STRUCT_CACHE[key] = s
+    return s
+
+
+# =====================================================================
+# Device-side batched codec
+# =====================================================================
+
+class LDPCCodec:
+    """Batched LDPC encode + min-sum BP decode (hard & soft)."""
+
+    def __init__(self, cfg: LdpcConfig):
+        self.cfg = cfg
+        s = get_structure(cfg)
+        self.structure = s
+        self.info_bits = s.info_bits
+        self.parity_bits = s.parity_bits
+        self.codeword_bits = s.codeword_bits
+        self.info_bytes = s.info_bytes
+        self.parity_bytes = s.parity_bytes
+        self.codeword_bytes = s.codeword_bytes
+        self.max_iterations = cfg.max_iterations or DEFAULT_MAX_ITERATIONS
+
+        lay = s.decoder_layout()
+        self.dc, self.dv, self.dci = lay["dc"], lay["dv"], lay["dci"]
+        i32 = jnp.int32
+        self.check_gather = jnp.asarray(lay["check_gather"].reshape(-1), i32)
+        self.var_gather = jnp.asarray(lay["var_gather"].reshape(-1), i32)
+        self.row2col = jnp.asarray(lay["row2col"].reshape(-1), i32)
+        self.row_info = jnp.asarray(lay["row_info"], i32)
+
+        self.inner_fwd = (
+            jnp.asarray(s.inner_forward, i32) if s.inner_forward is not None else None
+        )
+        self.inner_inv = (
+            jnp.asarray(s.inner_inverse, i32) if s.inner_inverse is not None else None
+        )
+        self.inter_g = (
+            jnp.asarray(s.inner_interleave_gather, i32)
+            if s.inner_forward is not None else None
+        )
+        self.deinter_g = (
+            jnp.asarray(s.inner_deinterleave_gather, i32)
+            if s.inner_forward is not None else None
+        )
+        self.outer_fwd = (
+            jnp.asarray(s.outer_forward, i32) if s.outer_forward is not None else None
+        )
+        self.outer_inv = (
+            jnp.asarray(s.outer_inverse, i32) if s.outer_inverse is not None else None
+        )
+
+    # ------------------------------------------------------- bit plumbing
+
+    def _unpack_cw(self, codeword_bytes):
+        return bitutils.unpack_jnp(codeword_bytes, self.codeword_bits).astype(jnp.int32)
+
+    def _pack_cw(self, bits):
+        return bitutils.pack_jnp(bits.astype(jnp.uint8))
+
+    def interleave_bits(self, bits):
+        """out[fwd[i]] = in[i]  (ldpc.c:88-103) as a gather (out zeroed,
+        last write wins — inter_g holds the last preimage, -1 -> 0)."""
+        if self.inner_fwd is None:
+            return bits
+        g = self.inter_g
+        out = jnp.take(bits, jnp.clip(g, 0, None), axis=-1)
+        return jnp.where(g >= 0, out, 0)
+
+    def deinterleave_bits(self, bits):
+        """out[inv[i]] = in[i]  (ldpc.c:105-120) as a gather."""
+        if self.inner_inv is None:
+            return bits
+        g = self.deinter_g
+        out = jnp.take(bits, jnp.clip(g, 0, None), axis=-1)
+        return jnp.where(g >= 0, out, 0)
+
+    # ----------------------------------------------------------- encode
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode(self, info_bytes):
+        bits = bitutils.unpack_jnp(info_bytes, self.info_bits).astype(jnp.int32)
+        padded = jnp.concatenate(
+            [bits, jnp.zeros((*bits.shape[:-1], 1), jnp.int32)], axis=-1
+        )
+        g = jnp.take(padded, self.row_info.reshape(-1), axis=-1)
+        g = g.reshape(*bits.shape[:-1], self.parity_bits, self.dci)
+        s = g.sum(axis=-1) & 1
+        parity = jnp.cumsum(s, axis=-1) & 1  # staircase prefix-XOR (ldpc.c:941-955)
+        return self._pack_parity(parity)
+
+    def _pack_parity(self, parity_bits_arr):
+        return bitutils.pack_jnp(parity_bits_arr.astype(jnp.uint8))
+
+    def encode(self, info):
+        """Raw LDPC encode (no interleaving — the facade layers that):
+        info uint8 [B, info_bytes] -> parity uint8 [B, parity_bytes]."""
+        info = jnp.asarray(info)
+        squeeze = info.ndim == 1
+        if squeeze:
+            info = info[None]
+        out = self._encode(info)
+        return out[0] if squeeze else out
+
+    # ------------------------------------------------------ BP internals
+
+    def _syndrome_ok(self, bits):
+        """bits [B, V] -> [B] all-checks-satisfied (ldpc.c:635-653)."""
+        padded = jnp.concatenate(
+            [bits, jnp.zeros((*bits.shape[:-1], 1), bits.dtype)], axis=-1
+        )
+        g = jnp.take(padded, self.row2col, axis=-1)
+        g = g.reshape(*bits.shape[:-1], self.parity_bits, self.dc)
+        return ~jnp.any(g.sum(axis=-1) & 1, axis=-1)
+
+    def _check_update(self, v2c):
+        """Normalized two-minimum min-sum (ldpc.c:693-738).
+
+        v2c: [B, V*dv] var-centric messages.  Returns c2v [B, C*dc]."""
+        B = v2c.shape[0]
+        P, dc = self.parity_bits, self.dc
+        pad = jnp.full((B, 1), LLR_MAX, dtype=v2c.dtype)
+        vflat = jnp.concatenate([v2c, pad], axis=1)
+        g = jnp.take(vflat, self.check_gather, axis=1).reshape(B, P, dc)
+
+        neg = g < 0
+        row_neg = jnp.sum(neg, axis=2) & 1                      # [B, P]
+        absg = jnp.where(neg, -g, g)
+        min1 = jnp.min(absg, axis=2)                            # [B, P]
+        idx = jnp.argmin(absg, axis=2)                          # first min
+        slot = jnp.arange(dc, dtype=jnp.int32)[None, None, :]
+        is_min1 = slot == idx[:, :, None]
+        masked = jnp.where(is_min1, LLR_MAX, absg)
+        min2 = jnp.min(masked, axis=2)
+        mag = jnp.where(is_min1, min2[:, :, None], min1[:, :, None])
+        mag = (mag.astype(jnp.int32) * 15) // 16                # alpha = 15/16
+        row_sign = 1 - 2 * row_neg                              # [B, P]
+        sgn = jnp.where(neg, -row_sign[:, :, None], row_sign[:, :, None])
+        return (sgn * mag).reshape(B, P * dc)
+
+    def _var_update(self, c2v_flat, channel):
+        """ldpc.c:740-766.  c2v_flat [B, C*dc]; channel [B, V] int32.
+        Returns (llr_total [B, V], v2c [B, V*dv])."""
+        B = c2v_flat.shape[0]
+        V, dv = self.codeword_bits, self.dv
+        pad = jnp.zeros((B, 1), dtype=c2v_flat.dtype)
+        cflat = jnp.concatenate([c2v_flat, pad], axis=1)
+        h = jnp.take(cflat, self.var_gather, axis=1).reshape(B, V, dv)
+        total = channel + h.sum(axis=2, dtype=jnp.int32)        # raw int32 sum
+        llr_total = jnp.clip(total, LLR_MIN, LLR_MAX)
+        v2c = jnp.clip(total[:, :, None] - h, LLR_MIN, LLR_MAX)
+        return llr_total, v2c.reshape(B, V * dv)
+
+    def _bp_loop(self, llr_init, channel_soft, bits_init, conv0, max_iterations):
+        """Shared BP driver.
+
+        llr_init [B, V] int32: initial llr_total.
+        channel_soft: None (hard: channel = previous llr_total,
+        ldpc.c:746-751) or [B, V] int32 (soft: constant channel).
+        bits_init: output bits for elements converged before iterating.
+        conv0 [B] bool: pre-converged mask (hard path early exit).
+        """
+        B, V = llr_init.shape
+        dv = self.dv
+        v2c0 = jnp.broadcast_to(llr_init[:, :, None], (B, V, dv)).reshape(B, V * dv)
+
+        state = dict(
+            v2c=v2c0,
+            llr=llr_init,
+            out_bits=bits_init,
+            last_bits=bits_init,
+            converged=conv0,
+            iters=jnp.zeros((B,), jnp.int32),
+            it=jnp.int32(0),
+        )
+
+        def cond(st):
+            return (st["it"] < max_iterations) & ~jnp.all(st["converged"])
+
+        def body(st):
+            c2v = self._check_update(st["v2c"])
+            channel = st["llr"] if channel_soft is None else channel_soft
+            llr, v2c = self._var_update(c2v, channel)
+            bits = (llr < 0).astype(jnp.int32)
+            sat = self._syndrome_ok(bits)
+            newly = sat & ~st["converged"]
+            it1 = st["it"] + 1
+            return dict(
+                v2c=v2c,
+                llr=llr,
+                out_bits=jnp.where(newly[:, None], bits, st["out_bits"]),
+                last_bits=bits,
+                converged=st["converged"] | sat,
+                iters=jnp.where(newly, it1, st["iters"]),
+                it=it1,
+            )
+
+        st = jax.lax.while_loop(cond, body, state)
+        ok = st["converged"]
+        out = jnp.where(ok[:, None], st["out_bits"], st["last_bits"])
+        iters = jnp.where(ok, st["iters"], max_iterations)
+        iters = jnp.where(conv0, 0, iters)
+        return ok, out, iters
+
+    # ------------------------------------------------------------ decode
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _decode_hard(self, codeword_bytes, max_iterations):
+        bits_in = self._unpack_cw(codeword_bytes)
+        work = self.deinterleave_bits(bits_in)
+        conv0 = self._syndrome_ok(work)
+        llr0 = jnp.where(work == 1, -LLR_INFINITY, LLR_INFINITY).astype(jnp.int32)
+        ok, out, iters = self._bp_loop(llr0, None, work, conv0, max_iterations)
+        return ok, self._pack_cw(out), iters
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _decode_soft(self, llr8, max_iterations):
+        """llr8: [B, codeword_bits] int8 channel LLRs."""
+        work = llr8.astype(jnp.int32)
+        if self.inner_inv is not None:
+            # deinterleave_llr (ldpc.c:136-148): out[inv[i]] = in[i].
+            # (The C leaves never-written entries as malloc garbage; here
+            # they are deterministically 0.)
+            g = self.deinter_g
+            work = jnp.where(
+                g >= 0, jnp.take(work, jnp.clip(g, 0, None), axis=-1), 0
+            )
+        channel = work * LLR_SCALE
+        llr0 = jnp.clip(channel, LLR_MIN, LLR_MAX)
+        B = llr8.shape[0]
+        bits0 = jnp.zeros((B, self.codeword_bits), jnp.int32)
+        conv0 = jnp.zeros((B,), bool)  # soft path has no pre-check
+        ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
+        return ok, self._pack_cw(out), iters
+
+    def decode_hard(self, codeword, max_iterations: int = 0):
+        """codeword uint8 [B, codeword_bytes] -> (ok, codeword_out, iters).
+
+        Matches poporon_ldpc_decode_hard (ldpc.c:971-1025): the returned
+        codeword is the deinterleaved working word — best-effort when
+        ok is False.
+        """
+        codeword = jnp.asarray(codeword)
+        squeeze = codeword.ndim == 1
+        if squeeze:
+            codeword = codeword[None]
+        mi = max_iterations or self.max_iterations
+        ok, cw, iters = self._decode_hard(codeword, mi)
+        return (ok[0], cw[0], iters[0]) if squeeze else (ok, cw, iters)
+
+    def decode_soft(self, llr, max_iterations: int = 0):
+        """llr int8 [B, codeword_bits] -> (ok, codeword_out, iters)."""
+        llr = jnp.asarray(llr, dtype=jnp.int8)
+        squeeze = llr.ndim == 1
+        if squeeze:
+            llr = llr[None]
+        mi = max_iterations or self.max_iterations
+        ok, cw, iters = self._decode_soft(llr, mi)
+        return (ok[0], cw[0], iters[0]) if squeeze else (ok, cw, iters)
+
+    def check(self, codeword):
+        """poporon_ldpc_check (ldpc.c:962-969)."""
+        codeword = jnp.asarray(codeword)
+        squeeze = codeword.ndim == 1
+        if squeeze:
+            codeword = codeword[None]
+        ok = self._syndrome_ok(self._unpack_cw(codeword))
+        return ok[0] if squeeze else ok
+
+    # --------------------------------------------------- byte interleave
+
+    def interleave(self, codeword_bytes):
+        cb = jnp.asarray(codeword_bytes)
+        bits = bitutils.unpack_jnp(cb, self.codeword_bits).astype(jnp.int32)
+        return bitutils.pack_jnp(self.interleave_bits(bits).astype(jnp.uint8))
+
+    def deinterleave(self, codeword_bytes):
+        cb = jnp.asarray(codeword_bytes)
+        bits = bitutils.unpack_jnp(cb, self.codeword_bits).astype(jnp.int32)
+        return bitutils.pack_jnp(self.deinterleave_bits(bits).astype(jnp.uint8))
