@@ -143,15 +143,15 @@ class BCHCodec:
         self.R_enc = jnp.asarray(R, dtype=jnp.float32)
 
         # Syndrome constants: S_i ^= log2exp[((i+1)*j) % fs] for set bit j
-        j = np.arange(n, dtype=np.int64)[:, None]
-        i = np.arange(2 * t, dtype=np.int64)[None, :]
+        j = np.arange(n, dtype=np.int32)[:, None]
+        i = np.arange(2 * t, dtype=np.int32)[None, :]
         syn_consts = gf.log2exp[((i + 1) * j) % fs]           # [n, 2t]
-        self.G_syn = jnp.asarray(gf.linear_matrix(syn_consts), dtype=jnp.float32)
+        self.G_syn = jnp.asarray(gf.linear_matrix_bits_in(syn_consts), dtype=jnp.float32)
 
         # Chien constants: eval at x = alpha^{(fs - i) % fs}, i = 0..n-1:
         # term_{c,i} = lambda_c * alpha^{(c * (fs - i)) % fs}
-        c = np.arange(_BCH_MAX_POLY, dtype=np.int64)[:, None]
-        ii = np.arange(n, dtype=np.int64)[None, :]
+        c = np.arange(_BCH_MAX_POLY, dtype=np.int32)[:, None]
+        ii = np.arange(n, dtype=np.int32)[None, :]
         logx = (fs - ii) % fs
         chien_consts = gf.log2exp[(c * logx) % fs % fs]       # [64, n]
         self.M_chien = jnp.asarray(gf.linear_matrix(chien_consts), dtype=jnp.float32)
@@ -163,25 +163,25 @@ class BCHCodec:
 
     def _word_bits(self, w):
         """int word [B] -> LSB-first bits [B, n]."""
-        shifts = jnp.arange(self.n, dtype=jnp.int64)
-        return ((w.astype(jnp.int64)[:, None] >> shifts) & 1).astype(jnp.int32)
+        shifts = jnp.arange(self.n, dtype=jnp.int32)
+        return ((w.astype(jnp.int32)[:, None] >> shifts) & 1).astype(jnp.int32)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode(self, data):
         """data int words [B] -> codeword words [B] (no validity check)."""
-        shifts = jnp.arange(self.data_length, dtype=jnp.int64)
-        bits = ((data.astype(jnp.int64)[:, None] >> shifts) & 1).astype(jnp.float32)
-        pbits = gf2_matmul(bits, self.R_enc).astype(jnp.int64)  # [B, parity]
-        pw = (pbits << jnp.arange(self.parity_bits, dtype=jnp.int64)).sum(axis=1)
-        return (data.astype(jnp.int64) << self.parity_bits) ^ pw
+        shifts = jnp.arange(self.data_length, dtype=jnp.int32)
+        bits = ((data.astype(jnp.int32)[:, None] >> shifts) & 1).astype(jnp.float32)
+        pbits = gf2_matmul(bits, self.R_enc).astype(jnp.int32)  # [B, parity]
+        pw = (pbits << jnp.arange(self.parity_bits, dtype=jnp.int32)).sum(axis=1)
+        return (data.astype(jnp.int32) << self.parity_bits) ^ pw
 
     def encode(self, data):
-        """Batched word encode; returns (ok [B], codeword [B] int64)."""
+        """Batched word encode; returns (ok [B], codeword [B] int32)."""
         data = jnp.asarray(data)
         squeeze = data.ndim == 0
         if squeeze:
             data = data[None]
-        ok = data.astype(jnp.int64) < (1 << self.data_length)
+        ok = data.astype(jnp.int32) < (1 << self.data_length)
         cw = self._encode(data)
         cw = jnp.where(ok, cw, 0)
         return (ok[0], cw[0]) if squeeze else (ok, cw)
@@ -262,7 +262,7 @@ class BCHCodec:
         """received int words [B] -> (ok, corrected words, num_errors)."""
         B = received.shape[0]
         mask_n = (1 << self.n) - 1
-        received = received.astype(jnp.int64) & mask_n
+        received = received.astype(jnp.int32) & mask_n
         bits = self._word_bits(received)
         S = self._syndromes(bits)
         clean = ~jnp.any(S != 0, axis=1)
@@ -282,8 +282,8 @@ class BCHCodec:
         found = selected.astype(jnp.int32).sum(axis=1)
         fail_found = found != ec
 
-        pos_vals = jnp.arange(self.n, dtype=jnp.int64)[None, :]
-        flip = jnp.where(selected, jnp.int64(1) << pos_vals, 0).sum(axis=1)
+        pos_vals = jnp.arange(self.n, dtype=jnp.int32)[None, :]
+        flip = jnp.where(selected, jnp.int32(1) << pos_vals, 0).sum(axis=1)
         corrected = received ^ flip
 
         S2 = self._syndromes(self._word_bits(corrected))
@@ -305,7 +305,7 @@ class BCHCodec:
 
     def extract_data(self, codeword):
         """bch.c:437-444."""
-        cw = jnp.asarray(codeword).astype(jnp.int64)
+        cw = jnp.asarray(codeword).astype(jnp.int32)
         return (cw >> self.parity_bits) & ((1 << self.data_length) - 1)
 
     # ------------------------------------------------ facade byte layer
@@ -320,10 +320,10 @@ class BCHCodec:
 
     def pack_data(self, data):
         """Big-endian byte pack (encode.c:215-221), batched [B, data_bytes]."""
-        data = jnp.asarray(data).astype(jnp.int64)
+        data = jnp.asarray(data).astype(jnp.int32)
         nb = min(self.data_bytes, 4)
         weights = jnp.left_shift(
-            jnp.int64(1), 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int64)
+            jnp.int32(1), 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int32)
         )[:nb]
         val = (data[..., :nb] * weights).sum(axis=-1)
         if self.data_length < 32:
@@ -332,16 +332,16 @@ class BCHCodec:
 
     def unpack_data(self, val):
         """Big-endian byte unpack (decode.c:585-587)."""
-        val = jnp.asarray(val).astype(jnp.int64)
-        shifts = 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int64)
+        val = jnp.asarray(val).astype(jnp.int32)
+        shifts = 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int32)
         return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
 
     def pack_parity(self, parity):
-        parity = jnp.asarray(parity).astype(jnp.int64)
+        parity = jnp.asarray(parity).astype(jnp.int32)
         nb = min(self.parity_bytes, 4)
         weights = jnp.left_shift(
-            jnp.int64(1),
-            8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int64),
+            jnp.int32(1),
+            8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int32),
         )[:nb]
         val = (parity[..., :nb] * weights).sum(axis=-1)
         if self.parity_bits < 32:
@@ -349,6 +349,6 @@ class BCHCodec:
         return val
 
     def unpack_parity(self, val):
-        val = jnp.asarray(val).astype(jnp.int64)
-        shifts = 8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int64)
+        val = jnp.asarray(val).astype(jnp.int32)
+        shifts = 8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int32)
         return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)

@@ -41,6 +41,7 @@ import numpy as np
 from ..config import LdpcConfig, LdpcMatrixType, LdpcRate
 from ..utils.rng import Xoshiro128pp
 from ..utils import bits as bitutils
+from ..utils import native
 
 MIN_BLOCK_SIZE = 32
 MAX_BLOCK_SIZE = 8192
@@ -131,14 +132,27 @@ class LdpcStructure:
     def _build_random(self, cw: int):
         """ldpc.c:283-411 — two identical RNG passes (count, then fill)."""
         seed = self.cfg.seed & 0xFFFFFFFF
+        self.num_edges_alloc = self.info_bits * cw + 2 * self.parity_bits - 1
+        nat = native.ldpc_build_random(
+            seed, self.info_bits, self.parity_bits, cw, self.num_edges_alloc
+        )
+        if nat is not None:
+            self._adopt_csr(*nat)
+            return
         # pass 1 (counts) and pass 2 (fill) draw identical streams from
         # freshly-seeded RNGs, so one bulk draw serves both.
         rng = Xoshiro128pp(seed)
         draws = rng.draw_u32(self.info_bits * cw)
         targets = (draws % np.uint32(self.parity_bits)).astype(np.int64)
         info_cols = np.repeat(np.arange(self.info_bits, dtype=np.int64), cw)
-        self.num_edges_alloc = self.info_bits * cw + 2 * self.parity_bits - 1
         self._place_info_edges(targets, info_cols)
+
+    def _adopt_csr(self, row_ptr, col_idx):
+        self.row_ptr = row_ptr
+        self.col_idx = col_idx
+        self.num_checks = self.parity_bits
+        self.num_bits = self.codeword_bits
+        self.num_edges_used = int(row_ptr[-1])
 
     def _build_qc(self, cw: int):
         """ldpc.c:413-582 — quasi-cyclic lifting; out-of-range rows are
@@ -154,6 +168,14 @@ class LdpcStructure:
         base_rows = (self.parity_bits + lifting - 1) // lifting
 
         seed = self.cfg.seed & 0xFFFFFFFF
+        self.num_edges_alloc = self.info_bits * cw + 2 * self.parity_bits - 1
+        nat = native.ldpc_build_qc(
+            seed, self.info_bits, self.parity_bits, cw, lifting,
+            self.num_edges_alloc,
+        )
+        if nat is not None:
+            self._adopt_csr(*nat)
+            return
         rng = Xoshiro128pp(seed)
         draws = rng.draw_u32(self.info_bits * cw * 2).astype(np.int64)
         block_row = draws[0::2] % base_rows

@@ -125,3 +125,19 @@ class GF:
                     cache[c] = blk
                 M[i * m : (i + 1) * m, o * m : (o + 1) * m] = blk
         return M
+
+    def linear_matrix_bits_in(self, constants: np.ndarray) -> np.ndarray:
+        """Like linear_matrix, but each INPUT is a single GF(2) bit.
+
+        Given constants C[i, o], returns the [I, O*m] 0/1 matrix of
+        y_o = XOR_i bit_i * C[i,o]: row i holds the MSB-first bits of
+        each C[i, o].  (Used where the received word is a plain bit
+        vector, e.g. binary BCH syndromes, bch.c:38-42.)
+        """
+        C = np.asarray(constants)
+        I, O = C.shape
+        m = self.symbol_size
+        M = np.zeros((I, O * m), dtype=np.uint8)
+        for k in range(m):
+            M[:, k::m] = (C >> (m - 1 - k)) & 1
+        return M
