@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: RS(255,223) decode throughput (2 symbol errors per
+codeword — the README example config, BASELINE.json config #1/#2) in
+codewords/s on one chip.  vs_baseline is the speedup over the reference
+C library (compiled from /root/reference, scalar path) measured on this
+host — the reference publishes no numbers of its own (BASELINE.md).
+
+Secondary metrics (LDPC BP Mbit/s, RS encode, BCH, erasure decode) are
+printed to stderr as JSON lines prefixed with '#'.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 4096
+LDPC_BATCH = 8192
+
+
+def log(obj):
+    print("# " + json.dumps(obj), file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_reference_rs(corrupt, parity, n=512):
+    """Reference C library RS decode, codewords/s (single core)."""
+    sys.path.insert(0, "tests")
+    try:
+        import oracle
+
+        if not oracle.available():
+            return None
+        ref = oracle.RS()
+        t0 = time.perf_counter()
+        for i in range(n):
+            ref.decode(corrupt[i % len(corrupt)], parity[i % len(parity)])
+        dt = time.perf_counter() - t0
+        ref.close()
+        return n / dt
+    except Exception as e:
+        log({"reference_bench_error": str(e)})
+        return None
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    import libpoporon_tpu as pp
+
+    dev = jax.devices()[0]
+    log({"device": str(dev), "platform": dev.platform})
+
+    rng = np.random.default_rng(0)
+
+    # ---------------- RS(255,223) decode, 2 errors (primary) ----------------
+    codec = pp.create(pp.rs_config_default())
+    rs = codec._rs
+    data = rng.integers(0, 256, (BATCH, 223), dtype=np.uint8)
+    parity = np.asarray(rs.encode(data))
+    corrupt = data.copy()
+    pos = rng.integers(0, 223, (BATCH, 2))
+    for b in range(BATCH):
+        corrupt[b, pos[b, 0]] ^= 0x55
+        corrupt[b, pos[b, 1] % 223] ^= 0xAA
+
+    dj = jax.device_put(corrupt)
+    pj = jax.device_put(parity)
+    dt = time_fn(lambda a, b: rs._decode_plain(a, b), dj, pj)
+    rs_dec_cws = BATCH / dt
+    ok = np.asarray(rs._decode_plain(dj, pj)[0])
+    assert ok.all(), "bench decode failed"
+    log({"bench": "rs_decode_2err", "codewords_per_s": rs_dec_cws})
+
+    # ---------------- RS encode ----------------
+    dt = time_fn(lambda a: rs._encode(a), jax.device_put(data))
+    log({"bench": "rs_encode", "codewords_per_s": BATCH / dt})
+
+    # ---------------- RS erasure decode (32 erasures) ----------------
+    epos = np.sort(rng.choice(223, 32, replace=False)).astype(np.int32)
+    eras = data.copy()
+    for p in epos:
+        eras[:, p] ^= 0xFF
+    posb = np.broadcast_to(epos[None], (BATCH, 32)).copy()
+    cnts = np.full(BATCH, 32, dtype=np.int32)
+    ej, cj = jax.device_put(posb), jax.device_put(cnts)
+    erj = jax.device_put(eras)
+    dt = time_fn(lambda a, b, e, c: rs._decode_erasure(a, b, e, c), erj, pj, ej, cj)
+    log({"bench": "rs_erasure_32", "codewords_per_s": BATCH / dt})
+
+    # ---------------- BCH(15,5) batch ----------------
+    bch = pp.create(pp.bch_config_default())._bch
+    words = rng.integers(0, 1 << 15, (10240,), dtype=np.int32)
+    wj = jax.device_put(words)
+    dt = time_fn(lambda w: bch._decode(w), wj)
+    log({"bench": "bch15_decode", "codewords_per_s": 10240 / dt})
+
+    # ---------------- LDPC rate-1/2 n=128B hard decode ----------------
+    from libpoporon_tpu.config import LdpcConfig, LdpcRate
+    from libpoporon_tpu.models.ldpc import LDPCCodec
+
+    lc = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2))
+    info = rng.integers(0, 256, (LDPC_BATCH, lc.info_bytes), dtype=np.uint8)
+    lp = np.asarray(lc.encode(info))
+    cw = np.concatenate([info, lp], axis=1)
+    for b in range(LDPC_BATCH):
+        for p in rng.choice(lc.codeword_bits, 4, replace=False):
+            cw[b, p // 8] ^= 1 << (7 - (p % 8))
+    cwj = jax.device_put(cw)
+    dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=1, iters=3)
+    ldpc_cws = LDPC_BATCH / dt
+    ldpc_mbits = ldpc_cws * lc.codeword_bits / 1e6
+    log({"bench": "ldpc_r12_128B_hard_4err", "codewords_per_s": ldpc_cws,
+         "mbit_per_s": ldpc_mbits})
+
+    # ---------------- LDPC soft decode ----------------
+    from libpoporon_tpu.utils import bits as bitutils
+
+    cb = bitutils.unpack_np(cw, lc.codeword_bits)
+    llr = np.where(cb == 1, -90, 90).astype(np.int8)
+    llr = (llr + rng.integers(-25, 26, llr.shape)).clip(-127, 127).astype(np.int8)
+    lj = jax.device_put(llr)
+    dt = time_fn(lambda l: lc._decode_soft(l, 50), lj, warmup=1, iters=3)
+    log({"bench": "ldpc_r12_128B_soft", "codewords_per_s": LDPC_BATCH / dt,
+         "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
+
+    # ---------------- reference C library baseline ----------------
+    ref_cws = bench_reference_rs(corrupt, parity)
+    vs = rs_dec_cws / ref_cws if ref_cws else 0.0
+    if ref_cws:
+        log({"bench": "reference_rs_decode_2err", "codewords_per_s": ref_cws})
+
+    print(json.dumps({
+        "metric": "RS(255,223) decode codewords/s/chip (2 errors)",
+        "value": round(rs_dec_cws, 1),
+        "unit": "codewords/s",
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

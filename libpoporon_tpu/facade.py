@@ -63,6 +63,8 @@ class EncodeResult:
 
 class Codec:
     def __init__(self, config):
+        if not isinstance(config, (RSConfig, LdpcConfig, BchConfig)):
+            raise TypeError(f"unknown config type {type(config)}")
         self.config = config
         self.fec_type = config.fec_type
         self.last_corrected = 0
@@ -71,10 +73,8 @@ class Codec:
             self._rs = RSCodec(config)
         elif isinstance(config, LdpcConfig):
             self._ldpc = LDPCCodec(config)
-        elif isinstance(config, BchConfig):
-            self._bch = BCHCodec(config)
         else:
-            raise TypeError(f"unknown config type {type(config)}")
+            self._bch = BCHCodec(config)
 
     # -------------------------------------------------------- getters
 

@@ -501,7 +501,9 @@ class LDPCCodec:
             out_bits=bits_init,
             last_bits=bits_init,
             converged=conv0,
-            iters=jnp.zeros((B,), jnp.int32),
+            # derived from a varying input so the carry type is stable
+            # under shard_map manual axes
+            iters=llr_init[:, 0] * 0,
             it=jnp.int32(0),
         )
 
@@ -558,9 +560,8 @@ class LDPCCodec:
             )
         channel = work * LLR_SCALE
         llr0 = jnp.clip(channel, LLR_MIN, LLR_MAX)
-        B = llr8.shape[0]
-        bits0 = jnp.zeros((B, self.codeword_bits), jnp.int32)
-        conv0 = jnp.zeros((B,), bool)  # soft path has no pre-check
+        bits0 = work * 0
+        conv0 = (work[:, 0] * 0).astype(bool)  # soft path has no pre-check
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
         return ok, self._pack_cw(out), iters
 
