@@ -33,6 +33,7 @@ import numpy as np
 from ..config import BchConfig
 from ..ops.gf import GF, GFError
 from ..ops.gf2 import gf2_matmul
+from ..ops.gfint import gf_mul, table_select
 from .rs import _xor_reduce, _symbols_to_bits, _bits_to_symbols
 
 _BCH_MAX_POLY = 64
@@ -159,6 +160,11 @@ class BCHCodec:
         self.log2exp_j = jnp.asarray(gf.log2exp, dtype=jnp.int32)
         self.exp2log_j = jnp.asarray(gf.exp2log, dtype=jnp.int32)
 
+        inv = np.zeros(fs + 1, dtype=np.int64)
+        for x in range(1, fs + 1):
+            inv[x] = gf.log2exp[(fs - int(gf.exp2log[x])) % fs]
+        self.inv_tbl = jnp.asarray(inv, dtype=jnp.int32)
+
     # ------------------------------------------------------- word codec
 
     def _word_bits(self, w):
@@ -192,13 +198,19 @@ class BCHCodec:
         return _bits_to_symbols(sbits, self.m)
 
     def _berlekamp_massey(self, S):
-        """bch.c:78-142, batched.  S: [B, 2t] normal-domain syndromes.
-        Returns (error_locator [B, 64], error_count [B])."""
+        """bch.c:78-142, batched, gather-free normal-domain arithmetic.
+
+        S: [B, 2t] normal-domain syndromes.
+        Returns (error_locator [B, 64], error_count [B]).
+        """
         B = S.shape[0]
         fs = self.fs
-        log2exp, exp2log = self.log2exp_j, self.exp2log_j
         P = _BCH_MAX_POLY
+        t2 = 2 * self.t
         lane = jnp.arange(P, dtype=jnp.int32)[None, :]
+
+        # window buffer: at iteration it, w_j = S[it-j] for 0 <= j <= it
+        sbuf = jnp.concatenate([S[:, ::-1], jnp.zeros((B, P), jnp.int32)], axis=1)
 
         current = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
         prev = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
@@ -206,54 +218,44 @@ class BCHCodec:
         shift = jnp.ones((B,), jnp.int32)
         prev_disc = jnp.ones((B,), jnp.int32)
 
+        def mul(a, b):
+            return gf_mul(a, b, self.m, self.gf.generator_polynomial)
+
         def body(it, state):
             current, prev, ec, shift, prev_disc = state
-            # discrepancy (bch.c:98-105)
-            s_at = jnp.take_along_axis(
-                S, jnp.broadcast_to(jnp.clip(it - lane, 0, 2 * self.t - 1), (B, P)),
-                axis=1,
-            )
-            valid = (lane >= 1) & (lane <= ec[:, None]) & (lane <= it)
-            contrib = jnp.where(
-                valid & (current != 0) & (s_at != 0),
-                jnp.take(
-                    log2exp,
-                    (jnp.take(exp2log, current) + jnp.take(exp2log, s_at)) % fs,
-                ),
-                0,
-            )
-            s_it = jnp.take(S, it, axis=1)
-            disc = s_it ^ _xor_reduce(contrib, 1)
+            # discrepancy = S[it] ^ sum_{1<=i<=ec} current_i * S[it-i]
+            # (bch.c:98-105)
+            w = jax.lax.dynamic_slice(sbuf, (0, t2 - 1 - it), (B, P))
+            w = jnp.where(lane <= it, w, 0)
+            valid = (lane >= 1) & (lane <= ec[:, None])
+            disc = _xor_reduce(jnp.where(valid, mul(current, w), 0), 1)
+            s_it = w[:, 0]
+            disc = s_it ^ disc
 
             no_disc = disc == 0
-            log_mult = (
-                fs - jnp.take(exp2log, prev_disc) + jnp.take(exp2log, disc)
-            ) % fs
-            # shifted update: current[i+shift] ^= prev[i] * multiplier
-            src = lane - shift[:, None]
-            upd_src = jnp.take_along_axis(prev, jnp.clip(src, 0, P - 1), axis=1)
-            upd_valid = (src >= 0) & (upd_src != 0)
-            upd = jnp.where(
-                upd_valid,
-                jnp.take(
-                    log2exp, (jnp.take(exp2log, upd_src) + log_mult[:, None]) % fs
-                ),
-                0,
-            )
+            # multiplier = disc / prev_disc (bch.c:110-111); prev_disc != 0
+            multiplier = mul(disc, table_select(self.inv_tbl, prev_disc))
+            # current[i+shift] ^= prev[i] * multiplier — per-element shift
+            # realised as a masked sum of static shifts (shift <= 2t+1)
+            contrib = mul(prev, multiplier[:, None])
+            upd = jnp.zeros((B, P), jnp.int32)
+            for s in range(1, t2 + 2):
+                sh = jnp.concatenate(
+                    [jnp.zeros((B, s), jnp.int32), contrib[:, : P - s]], axis=1
+                )
+                upd = upd ^ jnp.where((shift == s)[:, None], sh, 0)
             new_current = current ^ upd
             grow = 2 * ec <= it
 
             current2 = jnp.where(no_disc[:, None], current, new_current)
-            prev2 = jnp.where(
-                (no_disc | ~grow)[:, None], prev, current
-            )
+            prev2 = jnp.where((no_disc | ~grow)[:, None], prev, current)
             ec2 = jnp.where(no_disc | ~grow, ec, it + 1 - ec)
             prev_disc2 = jnp.where(no_disc | ~grow, prev_disc, disc)
             shift2 = jnp.where(no_disc, shift + 1, jnp.where(grow, 1, shift + 1))
             return current2, prev2, ec2, shift2, prev_disc2
 
         current, prev, ec, shift, prev_disc = jax.lax.fori_loop(
-            0, 2 * self.t, body, (current, prev, ec, shift, prev_disc)
+            0, t2, body, (current, prev, ec, shift, prev_disc)
         )
         return current, ec
 

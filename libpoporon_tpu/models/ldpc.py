@@ -382,46 +382,50 @@ class LDPCCodec:
         )
 
     # ------------------------------------------------------- bit plumbing
+    #
+    # All device-side tensors are TRANSPOSED: bits/LLRs live as [V, B]
+    # with the batch on the trailing (lane) axis, so every graph gather
+    # is an axis-0 row gather (embedding-style DMA, fast on TPU) rather
+    # than a per-element value gather (a TPU performance cliff).
 
-    def _unpack_cw(self, codeword_bytes):
-        return bitutils.unpack_jnp(codeword_bytes, self.codeword_bits).astype(jnp.int32)
+    def _unpack_cw_T(self, codeword_bytes):
+        """uint8 [B, bytes] -> bits [V, B] int32."""
+        bits = bitutils.unpack_jnp(codeword_bytes, self.codeword_bits)
+        return bits.astype(jnp.int32).T
 
-    def _pack_cw(self, bits):
-        return bitutils.pack_jnp(bits.astype(jnp.uint8))
+    def _pack_cw_T(self, bits_T):
+        """bits [V, B] -> uint8 [B, bytes]."""
+        return bitutils.pack_jnp(bits_T.T.astype(jnp.uint8))
 
-    def interleave_bits(self, bits):
-        """out[fwd[i]] = in[i]  (ldpc.c:88-103) as a gather (out zeroed,
-        last write wins — inter_g holds the last preimage, -1 -> 0)."""
+    def interleave_bits_T(self, bits_T):
+        """out[fwd[i]] = in[i]  (ldpc.c:88-103) as an axis-0 gather (out
+        zeroed, last write wins — inter_g holds the last preimage)."""
         if self.inner_fwd is None:
-            return bits
+            return bits_T
         g = self.inter_g
-        out = jnp.take(bits, jnp.clip(g, 0, None), axis=-1)
-        return jnp.where(g >= 0, out, 0)
+        out = jnp.take(bits_T, jnp.clip(g, 0, None), axis=0)
+        return jnp.where((g >= 0)[:, None], out, 0)
 
-    def deinterleave_bits(self, bits):
-        """out[inv[i]] = in[i]  (ldpc.c:105-120) as a gather."""
+    def deinterleave_bits_T(self, bits_T):
+        """out[inv[i]] = in[i]  (ldpc.c:105-120) as an axis-0 gather."""
         if self.inner_inv is None:
-            return bits
+            return bits_T
         g = self.deinter_g
-        out = jnp.take(bits, jnp.clip(g, 0, None), axis=-1)
-        return jnp.where(g >= 0, out, 0)
+        out = jnp.take(bits_T, jnp.clip(g, 0, None), axis=0)
+        return jnp.where((g >= 0)[:, None], out, 0)
 
     # ----------------------------------------------------------- encode
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode(self, info_bytes):
-        bits = bitutils.unpack_jnp(info_bytes, self.info_bits).astype(jnp.int32)
-        padded = jnp.concatenate(
-            [bits, jnp.zeros((*bits.shape[:-1], 1), jnp.int32)], axis=-1
-        )
-        g = jnp.take(padded, self.row_info.reshape(-1), axis=-1)
-        g = g.reshape(*bits.shape[:-1], self.parity_bits, self.dci)
-        s = g.sum(axis=-1) & 1
-        parity = jnp.cumsum(s, axis=-1) & 1  # staircase prefix-XOR (ldpc.c:941-955)
-        return self._pack_parity(parity)
-
-    def _pack_parity(self, parity_bits_arr):
-        return bitutils.pack_jnp(parity_bits_arr.astype(jnp.uint8))
+        bits_T = bitutils.unpack_jnp(info_bytes, self.info_bits).astype(jnp.int32).T
+        B = bits_T.shape[1]
+        padded = jnp.concatenate([bits_T, jnp.zeros((1, B), jnp.int32)], axis=0)
+        g = jnp.take(padded, self.row_info.reshape(-1), axis=0)
+        g = g.reshape(self.parity_bits, self.dci, B)
+        s = g.sum(axis=1) & 1                       # [C, B] row info-sums
+        parity = jnp.cumsum(s, axis=0) & 1          # staircase prefix-XOR
+        return bitutils.pack_jnp(parity.T.astype(jnp.uint8))
 
     def encode(self, info):
         """Raw LDPC encode (no interleaving — the facade layers that):
@@ -435,65 +439,64 @@ class LDPCCodec:
 
     # ------------------------------------------------------ BP internals
 
-    def _syndrome_ok(self, bits):
-        """bits [B, V] -> [B] all-checks-satisfied (ldpc.c:635-653)."""
-        padded = jnp.concatenate(
-            [bits, jnp.zeros((*bits.shape[:-1], 1), bits.dtype)], axis=-1
-        )
-        g = jnp.take(padded, self.row2col, axis=-1)
-        g = g.reshape(*bits.shape[:-1], self.parity_bits, self.dc)
-        return ~jnp.any(g.sum(axis=-1) & 1, axis=-1)
+    def _syndrome_ok_T(self, bits_T):
+        """bits [V, B] -> [B] all-checks-satisfied (ldpc.c:635-653)."""
+        B = bits_T.shape[1]
+        padded = jnp.concatenate([bits_T, jnp.zeros((1, B), bits_T.dtype)], axis=0)
+        g = jnp.take(padded, self.row2col, axis=0)
+        g = g.reshape(self.parity_bits, self.dc, B)
+        return ~jnp.any(g.sum(axis=1) & 1, axis=0)
 
     def _check_update(self, v2c):
         """Normalized two-minimum min-sum (ldpc.c:693-738).
 
-        v2c: [B, V*dv] var-centric messages.  Returns c2v [B, C*dc]."""
-        B = v2c.shape[0]
+        v2c: [V*dv, B] var-centric messages.  Returns c2v [C*dc, B]."""
+        B = v2c.shape[1]
         P, dc = self.parity_bits, self.dc
-        pad = jnp.full((B, 1), LLR_MAX, dtype=v2c.dtype)
-        vflat = jnp.concatenate([v2c, pad], axis=1)
-        g = jnp.take(vflat, self.check_gather, axis=1).reshape(B, P, dc)
+        pad = jnp.full((1, B), LLR_MAX, dtype=v2c.dtype)
+        vflat = jnp.concatenate([v2c, pad], axis=0)
+        g = jnp.take(vflat, self.check_gather, axis=0).reshape(P, dc, B)
 
         neg = g < 0
-        row_neg = jnp.sum(neg, axis=2) & 1                      # [B, P]
+        row_neg = jnp.sum(neg, axis=1) & 1                      # [P, B]
         absg = jnp.where(neg, -g, g)
-        min1 = jnp.min(absg, axis=2)                            # [B, P]
-        idx = jnp.argmin(absg, axis=2)                          # first min
-        slot = jnp.arange(dc, dtype=jnp.int32)[None, None, :]
-        is_min1 = slot == idx[:, :, None]
+        min1 = jnp.min(absg, axis=1)                            # [P, B]
+        idx = jnp.argmin(absg, axis=1)                          # first min
+        slot = jnp.arange(dc, dtype=jnp.int32)[None, :, None]
+        is_min1 = slot == idx[:, None, :]
         masked = jnp.where(is_min1, LLR_MAX, absg)
-        min2 = jnp.min(masked, axis=2)
-        mag = jnp.where(is_min1, min2[:, :, None], min1[:, :, None])
+        min2 = jnp.min(masked, axis=1)
+        mag = jnp.where(is_min1, min2[:, None, :], min1[:, None, :])
         mag = (mag.astype(jnp.int32) * 15) // 16                # alpha = 15/16
-        row_sign = 1 - 2 * row_neg                              # [B, P]
-        sgn = jnp.where(neg, -row_sign[:, :, None], row_sign[:, :, None])
-        return (sgn * mag).reshape(B, P * dc)
+        row_sign = 1 - 2 * row_neg                              # [P, B]
+        sgn = jnp.where(neg, -row_sign[:, None, :], row_sign[:, None, :])
+        return (sgn * mag).reshape(P * dc, B)
 
     def _var_update(self, c2v_flat, channel):
-        """ldpc.c:740-766.  c2v_flat [B, C*dc]; channel [B, V] int32.
-        Returns (llr_total [B, V], v2c [B, V*dv])."""
-        B = c2v_flat.shape[0]
+        """ldpc.c:740-766.  c2v_flat [C*dc, B]; channel [V, B] int32.
+        Returns (llr_total [V, B], v2c [V*dv, B])."""
+        B = c2v_flat.shape[1]
         V, dv = self.codeword_bits, self.dv
-        pad = jnp.zeros((B, 1), dtype=c2v_flat.dtype)
-        cflat = jnp.concatenate([c2v_flat, pad], axis=1)
-        h = jnp.take(cflat, self.var_gather, axis=1).reshape(B, V, dv)
-        total = channel + h.sum(axis=2, dtype=jnp.int32)        # raw int32 sum
+        pad = jnp.zeros((1, B), dtype=c2v_flat.dtype)
+        cflat = jnp.concatenate([c2v_flat, pad], axis=0)
+        h = jnp.take(cflat, self.var_gather, axis=0).reshape(V, dv, B)
+        total = channel + h.sum(axis=1, dtype=jnp.int32)        # raw int32 sum
         llr_total = jnp.clip(total, LLR_MIN, LLR_MAX)
-        v2c = jnp.clip(total[:, :, None] - h, LLR_MIN, LLR_MAX)
-        return llr_total, v2c.reshape(B, V * dv)
+        v2c = jnp.clip(total[:, None, :] - h, LLR_MIN, LLR_MAX)
+        return llr_total, v2c.reshape(V * dv, B)
 
     def _bp_loop(self, llr_init, channel_soft, bits_init, conv0, max_iterations):
-        """Shared BP driver.
+        """Shared BP driver (transposed layout).
 
-        llr_init [B, V] int32: initial llr_total.
+        llr_init [V, B] int32: initial llr_total.
         channel_soft: None (hard: channel = previous llr_total,
-        ldpc.c:746-751) or [B, V] int32 (soft: constant channel).
-        bits_init: output bits for elements converged before iterating.
+        ldpc.c:746-751) or [V, B] int32 (soft: constant channel).
+        bits_init [V, B]: output bits for pre-converged elements.
         conv0 [B] bool: pre-converged mask (hard path early exit).
         """
-        B, V = llr_init.shape
+        V, B = llr_init.shape
         dv = self.dv
-        v2c0 = jnp.broadcast_to(llr_init[:, :, None], (B, V, dv)).reshape(B, V * dv)
+        v2c0 = jnp.broadcast_to(llr_init[:, None, :], (V, dv, B)).reshape(V * dv, B)
 
         state = dict(
             v2c=v2c0,
@@ -503,7 +506,7 @@ class LDPCCodec:
             converged=conv0,
             # derived from a varying input so the carry type is stable
             # under shard_map manual axes
-            iters=llr_init[:, 0] * 0,
+            iters=llr_init[0, :] * 0,
             it=jnp.int32(0),
         )
 
@@ -515,13 +518,13 @@ class LDPCCodec:
             channel = st["llr"] if channel_soft is None else channel_soft
             llr, v2c = self._var_update(c2v, channel)
             bits = (llr < 0).astype(jnp.int32)
-            sat = self._syndrome_ok(bits)
+            sat = self._syndrome_ok_T(bits)
             newly = sat & ~st["converged"]
             it1 = st["it"] + 1
             return dict(
                 v2c=v2c,
                 llr=llr,
-                out_bits=jnp.where(newly[:, None], bits, st["out_bits"]),
+                out_bits=jnp.where(newly[None, :], bits, st["out_bits"]),
                 last_bits=bits,
                 converged=st["converged"] | sat,
                 iters=jnp.where(newly, it1, st["iters"]),
@@ -530,7 +533,7 @@ class LDPCCodec:
 
         st = jax.lax.while_loop(cond, body, state)
         ok = st["converged"]
-        out = jnp.where(ok[:, None], st["out_bits"], st["last_bits"])
+        out = jnp.where(ok[None, :], st["out_bits"], st["last_bits"])
         iters = jnp.where(ok, st["iters"], max_iterations)
         iters = jnp.where(conv0, 0, iters)
         return ok, out, iters
@@ -539,31 +542,33 @@ class LDPCCodec:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_hard(self, codeword_bytes, max_iterations):
-        bits_in = self._unpack_cw(codeword_bytes)
-        work = self.deinterleave_bits(bits_in)
-        conv0 = self._syndrome_ok(work)
+        bits_in = self._unpack_cw_T(codeword_bytes)
+        work = self.deinterleave_bits_T(bits_in)
+        conv0 = self._syndrome_ok_T(work)
         llr0 = jnp.where(work == 1, -LLR_INFINITY, LLR_INFINITY).astype(jnp.int32)
         ok, out, iters = self._bp_loop(llr0, None, work, conv0, max_iterations)
-        return ok, self._pack_cw(out), iters
+        return ok, self._pack_cw_T(out), iters
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_soft(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
-        work = llr8.astype(jnp.int32)
+        work = llr8.astype(jnp.int32).T                        # [V, B]
         if self.inner_inv is not None:
             # deinterleave_llr (ldpc.c:136-148): out[inv[i]] = in[i].
             # (The C leaves never-written entries as malloc garbage; here
             # they are deterministically 0.)
             g = self.deinter_g
             work = jnp.where(
-                g >= 0, jnp.take(work, jnp.clip(g, 0, None), axis=-1), 0
+                (g >= 0)[:, None],
+                jnp.take(work, jnp.clip(g, 0, None), axis=0),
+                0,
             )
         channel = work * LLR_SCALE
         llr0 = jnp.clip(channel, LLR_MIN, LLR_MAX)
         bits0 = work * 0
-        conv0 = (work[:, 0] * 0).astype(bool)  # soft path has no pre-check
+        conv0 = (work[0, :] * 0).astype(bool)  # soft path has no pre-check
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
-        return ok, self._pack_cw(out), iters
+        return ok, self._pack_cw_T(out), iters
 
     def decode_hard(self, codeword, max_iterations: int = 0):
         """codeword uint8 [B, codeword_bytes] -> (ok, codeword_out, iters).
@@ -596,17 +601,17 @@ class LDPCCodec:
         squeeze = codeword.ndim == 1
         if squeeze:
             codeword = codeword[None]
-        ok = self._syndrome_ok(self._unpack_cw(codeword))
+        ok = self._syndrome_ok_T(self._unpack_cw_T(codeword))
         return ok[0] if squeeze else ok
 
     # --------------------------------------------------- byte interleave
 
     def interleave(self, codeword_bytes):
         cb = jnp.asarray(codeword_bytes)
-        bits = bitutils.unpack_jnp(cb, self.codeword_bits).astype(jnp.int32)
-        return bitutils.pack_jnp(self.interleave_bits(bits).astype(jnp.uint8))
+        bits_T = self._unpack_cw_T(cb)
+        return self._pack_cw_T(self.interleave_bits_T(bits_T))
 
     def deinterleave(self, codeword_bytes):
         cb = jnp.asarray(codeword_bytes)
-        bits = bitutils.unpack_jnp(cb, self.codeword_bits).astype(jnp.int32)
-        return bitutils.pack_jnp(self.deinterleave_bits(bits).astype(jnp.uint8))
+        bits_T = self._unpack_cw_T(cb)
+        return self._pack_cw_T(self.deinterleave_bits_T(bits_T))

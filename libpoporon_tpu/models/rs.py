@@ -4,28 +4,38 @@ Re-design of the reference RS pipeline (src/rs.c, src/encode.c:17-145,
 src/decode.c:17-487) for batched execution on TPU:
 
 * The reference encodes ONE codeword per call with a scalar LFSR
-  (encode.c:120-144, 223 x 32 table lookups) and computes syndromes with
-  a scalar Horner loop (decode.c:375-415).  Both are GF(2)-LINEAR maps
-  with fixed constants, so here they are precomputed 0/1 matrices
-  applied to the whole [B, bits] batch with ONE matmul mod 2 on the MXU
-  (see ops/gf2.py).  The same trick turns the Chien search's sequential
-  register trick (decode.c:115-144) into a dense [B, t*m] @ [t*m, n*m]
-  evaluation at all n field points at once.
+  (encode.c:120-144) and computes syndromes with a scalar Horner loop
+  (decode.c:375-415).  Both are GF(2)-LINEAR maps with fixed constants,
+  so here they are precomputed 0/1 matrices applied to the whole
+  [B, bits] batch with ONE matmul mod 2 on the MXU (ops/gf2.py).  The
+  Chien search's sequential register trick (decode.c:115-144), the
+  error-evaluator evaluation and the formal-derivative evaluation of
+  Forney (decode.c:160-191) are likewise dense bit-matmul evaluations
+  at ALL field points, with per-root values compacted by fused one-hot
+  einsums.
 
-* Berlekamp-Massey keeps its serial data dependence (decode.c:49-96) but
-  runs as a fixed-trip-count fori_loop with branchless jnp.where
-  selects, parallel over the batch axis.
+* The reference's table-driven log/antilog arithmetic is a TPU
+  anti-pattern (gathers).  Everything data-dependent (Berlekamp-Massey,
+  Forney products) runs in NORMAL domain using packed-integer carry-
+  less multiply + reduction (ops/gfint.py) — pure fused elementwise int
+  ops.  The "log of zero" sentinel of the C code maps exactly to the
+  value 0 here; the C's log-domain corner cases (division by a zero
+  denominator yields a *= 1 via the sentinel, decode.c:187-189) are
+  reproduced through an inverse table with inv[0] = 1.
 
-* Shortened-code semantics (decode.c:418-429), the erasure-locator
-  initialisation (decode.c:34-47), the external-syndrome path
-  (decode.c:446-464), Forney's quirks (uint16 wraparound for fcr=0,
-  int16 truncation in the verification exponent) and the partial
-  in-place application on failure (decode.c:211-227) are all replicated
-  exactly; outputs are bit-identical to the C library (tested against
-  the compiled reference in tests/test_oracle_compat.py).
+* Berlekamp-Massey keeps its serial dependence (decode.c:49-96) but
+  runs as a fixed-trip fori_loop with branchless selects, parallel over
+  the batch.
 
-Sentinel convention throughout: logs live in [0, fs-1]; the value fs
-(= 2^m - 1) is "log of zero" (gf.c:62).
+* Shortened-code semantics (decode.c:418-429), erasure-locator init
+  (decode.c:34-47), the external-syndrome path (decode.c:446-464),
+  Forney's uint16 wraparound for fcr=0 (decode.c:175-176), and the
+  partial in-place application on failure (decode.c:211-227) are
+  replicated exactly; outputs are bit-identical to the C library
+  (tests/test_oracle_compat.py) for all configurations whose
+  verification exponent (fcr+nr)*prim*fs stays below 2^15 (the C
+  truncates it into an int16, decode.c:201; larger configs are UB
+  territory in the reference).
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ import numpy as np
 from ..config import RSConfig
 from ..ops.gf import GF, GFError
 from ..ops.gf2 import gf2_matmul
+from ..ops.gfint import gf_mul, onehot_select, scatter_mod2, table_select
 
 
 def _xor_reduce(x, axis: int):
@@ -119,6 +130,7 @@ class RSCodec:
         self.gf = gf
         self.m = gf.symbol_size
         self.fs = gf.field_size
+        self.poly = gf.generator_polynomial
         self.fcr = int(cfg.first_consecutive_root)
         self.prim = int(cfg.primitive_element)
         self.num_roots = int(cfg.num_roots)
@@ -127,15 +139,13 @@ class RSCodec:
             raise GFError("num_roots >= field size")
 
         # primitive inverse by the reference's trial loop (poporon.c:84-93)
-        inv = None
         v, it = 1, 0
         while v % self.prim != 0:
             v += self.fs
             it += 1
             if it > self.fs * 2:
                 raise GFError("primitive_element has no inverse")
-        inv = v // self.prim
-        self.prim_inv = inv
+        self.prim_inv = v // self.prim
 
         self.genlog = _build_genpoly(gf, self.fcr, self.prim, self.num_roots)
 
@@ -144,12 +154,18 @@ class RSCodec:
         if mats is None:
             mats = self._build_matrices()
             _MATRIX_CACHE[key] = mats
-        g_enc, g_syn, m_chien = mats
+        (g_enc, g_syn, m_chien, m_omega, m_den,
+         inv_tbl, sec_tbl, alpha_tbl) = mats
 
         f32 = jnp.float32
         self.G_enc = jnp.asarray(g_enc, dtype=f32)      # [k*m, nr*m]
         self.G_syn = jnp.asarray(g_syn, dtype=f32)      # [fs*m, nr*m]
         self.M_chien = jnp.asarray(m_chien, dtype=f32)  # [nr*m, fs*m]
+        self.M_omega = jnp.asarray(m_omega, dtype=f32)  # [nr*m, fs*m]
+        self.M_den = jnp.asarray(m_den, dtype=f32)      # [(nr+1)*m, fs*m]
+        self.inv_tbl = jnp.asarray(inv_tbl, dtype=jnp.int32)    # inv[0] = 1
+        self.sec_tbl = jnp.asarray(sec_tbl, dtype=jnp.int32)    # by root index
+        self.alpha_tbl = jnp.asarray(alpha_tbl, dtype=jnp.int32)
         self.log2exp_j = jnp.asarray(gf.log2exp, dtype=jnp.int32)
         self.exp2log_j = jnp.asarray(gf.exp2log, dtype=jnp.int32)
 
@@ -173,16 +189,44 @@ class RSCodec:
         pos = np.arange(fs, dtype=np.int64)[:, None]              # j
         i = np.arange(nr, dtype=np.int64)[None, :]
         expnt = ((self.fcr + i) * self.prim * (fs - 1 - pos)) % fs
-        syn_consts = gf.log2exp[expnt]                            # [fs, nr]
-        g_syn = gf.linear_matrix(syn_consts)                      # [fs*m, nr*m]
+        g_syn = gf.linear_matrix(gf.log2exp[expnt])               # [fs*m, nr*m]
 
         # Chien evaluation matrix: terms(i) = sum_{j>=1} lam_j alpha^{j*i},
-        # i = 1..fs (the dense replacement of decode.c:115-141).
+        # i = 1..fs (dense replacement of decode.c:115-141).
         j = np.arange(1, nr + 1, dtype=np.int64)[:, None]
         i2 = np.arange(1, fs + 1, dtype=np.int64)[None, :]
-        chien_consts = gf.log2exp[(j * i2) % fs]                  # [nr, fs]
-        m_chien = gf.linear_matrix(chien_consts)                  # [nr*m, fs*m]
-        return g_enc, g_syn, m_chien
+        m_chien = gf.linear_matrix(gf.log2exp[(j * i2) % fs])     # [nr*m, fs*m]
+
+        # Omega evaluation: num_j = sum_i Omega_i alpha^{i*root_j}
+        # (decode.c:160-169) at all root points r = 1..fs.
+        ji = np.arange(nr, dtype=np.int64)[:, None]
+        m_omega = gf.linear_matrix(gf.log2exp[(ji * i2) % fs])    # [nr*m, fs*m]
+
+        # Denominator (formal derivative): sum_{even i} lam_{i+1}
+        # alpha^{i*r} (decode.c:179-185) — rows for odd lambda indices.
+        den_consts = np.zeros((nr + 1, fs), dtype=np.int64)
+        for jj in range(1, nr + 1, 2):  # lambda_j with j odd, exponent (j-1)*r
+            den_consts[jj] = gf.log2exp[((jj - 1) * np.arange(1, fs + 1)) % fs]
+        m_den = gf.linear_matrix(den_consts)                      # [(nr+1)*m, fs*m]
+
+        # inverse table with the reference's zero-denominator quirk:
+        # den == 0 contributes alpha^{fs - exp2log[0]} = alpha^0 = 1
+        # (decode.c:187-189 with the sentinel).
+        inv_tbl = np.zeros(fs + 1, dtype=np.int64)
+        inv_tbl[0] = 1
+        for x in range(1, fs + 1):
+            inv_tbl[x] = gf.log2exp[(fs - int(gf.exp2log[x])) % fs]
+
+        # second-numerator by Chien root index r (decode.c:175-176):
+        # alpha^{((r*(fcr-1) + fs) mod 2^16) mod fs} — int arithmetic then
+        # uint16 truncation, matching the C.
+        r = np.arange(fs + 1, dtype=np.int64)
+        sec_arg = ((r * (self.fcr - 1) + fs) % 65536) % fs
+        sec_tbl = gf.log2exp[sec_arg]
+
+        alpha_tbl = gf.log2exp[np.arange(fs, dtype=np.int64)]
+        return (g_enc, g_syn, m_chien, m_omega, m_den,
+                inv_tbl, sec_tbl, alpha_tbl)
 
     # ----------------------------------------------------------- encode
 
@@ -209,6 +253,9 @@ class RSCodec:
 
     # ------------------------------------------------------- decode core
 
+    def _gf_mul(self, a, b):
+        return gf_mul(a, b, self.m, self.poly)
+
     def _syndrome(self, data, parity):
         """Normal-domain syndromes [B, nr] of the shortened word."""
         m, fs = self.m, self.fs
@@ -224,35 +271,28 @@ class RSCodec:
         return _bits_to_symbols(sbits, m)
 
     def _erasure_locator(self, eras_pos, eras_count, pad):
-        """Batched erasure-locator product (decode.c:34-47).
+        """Batched erasure-locator product (decode.c:34-47), normal domain.
 
         eras_pos: [B, E] int32 positions; eras_count: [B] int32.
-        Returns error_locator [B, nr+1] in NORMAL domain.
+        Returns error_locator [B, nr+1].
         """
         B, E = eras_pos.shape
         fs, nr = self.fs, self.num_roots
-        log2exp, exp2log = self.log2exp_j, self.exp2log_j
-        # poly_term_i: uint16-wrapped prim*(fs-1-(pos+pad)), then mod fs
+        # term_i = alpha^{(prim*(fs-1-(pos+pad)) mod 2^16) mod fs}
         raw = self.prim * (fs - 1 - (eras_pos + pad))
-        terms = (raw & 0xFFFF) % fs                              # [B, E]
+        terms = table_select(self.alpha_tbl, (raw & 0xFFFF) % fs)  # [B, E]
 
         el = jnp.zeros((B, nr + 1), dtype=jnp.int32)
         el = el.at[:, 0].set(1)
-        first = jnp.where(eras_count > 0, jnp.take(log2exp, terms[:, 0]), 0)
-        el = el.at[:, 1].set(first)
+        el = el.at[:, 1].set(jnp.where(eras_count > 0, terms[:, 0], 0))
 
         lane = jnp.arange(nr + 1, dtype=jnp.int32)[None, :]
 
         def body(i, el):
             active = (i < eras_count)[:, None]
-            t = jnp.take(exp2log, el)                            # [B, nr+1]
-            t_shift = jnp.roll(t, 1, axis=1).at[:, 0].set(fs)    # t[j-1]
-            term_i = jnp.take_along_axis(terms, i[None, None].repeat(B, 0), axis=1)
-            contrib = jnp.where(
-                t_shift != fs,
-                jnp.take(log2exp, (term_i + t_shift) % fs),
-                0,
-            )
+            term_i = jax.lax.dynamic_slice(terms, (0, i), (B, 1))
+            el_shift = jnp.roll(el, 1, axis=1).at[:, 0].set(0)   # el[j-1]
+            contrib = self._gf_mul(term_i, el_shift)
             maskj = (lane >= 1) & (lane <= i + 1)
             return el ^ jnp.where(active & maskj, contrib, 0)
 
@@ -260,213 +300,144 @@ class RSCodec:
             el = jax.lax.fori_loop(1, E, body, el)
         return el
 
-    def _berlekamp_massey(self, s_log, el_init, eras_count):
-        """Fixed-trip branchless BM (decode.c:49-96).
+    def _berlekamp_massey(self, s_norm, el_init, eras_count):
+        """Fixed-trip branchless BM (decode.c:49-96), normal domain.
 
-        s_log: [B, nr] log-form syndromes; el_init: [B, nr+1] normal-form
-        initial locator; eras_count: [B].
-        Returns error_locator [B, nr+1] in NORMAL domain.
+        s_norm: [B, nr] syndromes; el_init: [B, nr+1] initial locator.
+        Returns error_locator [B, nr+1].
         """
-        B = s_log.shape[0]
+        B = s_norm.shape[0]
         fs, nr = self.fs, self.num_roots
-        log2exp, exp2log = self.log2exp_j, self.exp2log_j
         lane = jnp.arange(nr + 1, dtype=jnp.int32)[None, :]
 
-        coeff = jnp.take(exp2log, el_init)            # log domain b(x)
-        el = el_init
-        poly_deg = eras_count.astype(jnp.int32)
+        # window buffer: at iteration it, v_j = S[it-1-j] for j < it
+        sbuf = jnp.concatenate(
+            [s_norm[:, ::-1], jnp.zeros((B, nr + 1), jnp.int32)], axis=1
+        )
 
-        def shift_right(x):
-            return jnp.roll(x, 1, axis=1).at[:, 0].set(fs)
+        def shift_x(x):  # multiply polynomial by x
+            return jnp.roll(x, 1, axis=1).at[:, 0].set(0)
 
         def body(it, state):
-            el, coeff, poly_deg = state
-            # discrepancy = XOR_{i<it} locator_i * S_{it-i-1}
-            idx = jnp.clip(it - 1 - lane[:, : nr + 1], 0, nr - 1)  # [1, nr+1]
-            s_at = jnp.take_along_axis(
-                s_log, jnp.broadcast_to(idx, (B, nr + 1)), axis=1
-            )
-            valid = (lane < it) & (el != 0) & (s_at != fs)
-            contrib = jnp.where(
-                valid, jnp.take(log2exp, (jnp.take(exp2log, el) + s_at) % fs), 0
-            )
-            disc = _xor_reduce(contrib, 1)                        # [B]
-            disc_log = jnp.take(exp2log, disc)
-            no_disc = (disc_log == fs)[:, None]
+            el, bpoly, poly_deg = state
+            v = jax.lax.dynamic_slice(sbuf, (0, nr - it), (B, nr + 1))
+            v = jnp.where(lane < it, v, 0)
+            disc = _xor_reduce(self._gf_mul(el, v), 1)            # [B]
+            no_disc = (disc == 0)[:, None]
 
-            # polynomial = locator + disc * b(x) shifted (normal domain)
-            prev_coeff = jnp.roll(coeff, 1, axis=1).at[:, 0].set(fs)  # b_{i-1}
-            upd = jnp.where(
-                prev_coeff != fs,
-                jnp.take(log2exp, (disc_log[:, None] + prev_coeff) % fs),
-                0,
-            )
-            poly = el ^ jnp.where(lane >= 1, upd, 0)
-            # (lane 0: polynomial[0] = el[0] — upd masked out)
+            xb = shift_x(bpoly)
+            poly_new = el ^ self._gf_mul(disc[:, None], xb)
 
             grow = (2 * poly_deg <= it + eras_count - 1)[:, None]
-            new_poly_deg = jnp.where(
-                grow[:, 0], it + eras_count - poly_deg, poly_deg
+            disc_inv = table_select(self.inv_tbl, disc)           # [B]
+            b_grow = self._gf_mul(el, disc_inv[:, None])
+
+            new_el = jnp.where(no_disc, el, poly_new)
+            new_b = jnp.where(no_disc, xb, jnp.where(grow, b_grow, xb))
+            new_pd = jnp.where(
+                no_disc[:, 0], poly_deg,
+                jnp.where(grow[:, 0], it + eras_count - poly_deg, poly_deg),
             )
-            scaled = jnp.where(
-                el == 0,
-                fs,
-                (jnp.take(exp2log, el) - disc_log[:, None] + fs) % fs,
-            )
-            coeff_shifted = shift_right(coeff)
-            new_coeff = jnp.where(
-                no_disc, coeff_shifted, jnp.where(grow, scaled, coeff_shifted)
-            )
-            new_el = jnp.where(no_disc, el, poly)
-            new_poly_deg = jnp.where(no_disc[:, 0], poly_deg, new_poly_deg)
-            return new_el, new_coeff, new_poly_deg
+            return new_el, new_b, new_pd
 
         def outer(it, state):
-            el, coeff, poly_deg = state
+            el, bpoly, poly_deg = state
             new = body(it, state)
             active = (it > eras_count)[:, None]
             return (
                 jnp.where(active, new[0], el),
-                jnp.where(active, new[1], coeff),
+                jnp.where(active, new[1], bpoly),
                 jnp.where(active[:, 0], new[2], poly_deg),
             )
 
-        el, coeff, poly_deg = jax.lax.fori_loop(
-            1, nr + 1, outer, (el, coeff, poly_deg)
-        )
+        state = (el_init, el_init, eras_count.astype(jnp.int32))
+        el, _, _ = jax.lax.fori_loop(1, nr + 1, outer, state)
         return el
 
-    def _chien(self, el_norm):
-        """Dense Chien search: roots of the locator at alpha^i, i=1..fs.
+    def _eval_at_all_points(self, coeffs, matrix):
+        """GF(2)-linear evaluation of per-element polynomials at all fs
+        field points: coeffs [B, C] -> values [B, fs]."""
+        bits = _symbols_to_bits(coeffs, self.m).astype(jnp.float32)
+        out_bits = gf2_matmul(bits, matrix)
+        return _bits_to_symbols(out_bits, self.m)
 
-        Returns root_mask [B, fs] (i-1 indexed).
-        """
-        m, fs, nr = self.m, self.fs, self.num_roots
-        lam = el_norm[:, 1:]                                # lambda_1..nr
-        lam_bits = _symbols_to_bits(lam, m).astype(jnp.float32)
-        term_bits = gf2_matmul(lam_bits, self.M_chien)      # [B, fs*m]
-        terms = _bits_to_symbols(term_bits, m)              # [B, fs]
-        return terms == 1                                    # eval = 1 ^ terms == 0
-
-    def _correct(self, data, parity, s_log, eras_pos, eras_count, pad,
+    def _correct(self, data, parity, s_norm, eras_pos, eras_count, pad,
                  erasure_apply: bool):
-        """error_correction_u8 (decode.c:17-230), batched.
+        """error_correction_u8 (decode.c:17-230), batched, gather-free.
 
         Returns (ok [B] bool, data, parity, corrected [B] int32).
         """
         B, size = data.shape
         fs, nr, m = self.fs, self.num_roots, self.m
-        log2exp, exp2log = self.log2exp_j, self.exp2log_j
         t_max = nr
 
         el0 = self._erasure_locator(eras_pos, eras_count, pad)
-        el_norm = self._berlekamp_massey(s_log, el0, eras_count)
-        el_log = jnp.take(exp2log, el_norm)                 # [B, nr+1]
+        el = self._berlekamp_massey(s_norm, el0, eras_count)      # [B, nr+1]
 
         lane = jnp.arange(nr + 1, dtype=jnp.int32)[None, :]
-        deg = jnp.max(jnp.where(el_log != fs, lane, 0), axis=1)  # [B]
+        deg = jnp.max(jnp.where(el != 0, lane, 0), axis=1)        # [B]
         fail_deg = deg == 0
 
-        # --- Chien ---
-        root_mask = self._chien(el_norm)                    # [B, fs] at i=1..fs
+        # --- Chien: roots at alpha^i, i = 1..fs (dense) ---
+        terms = self._eval_at_all_points(el[:, 1:], self.M_chien)  # [B, fs]
+        root_mask = terms == 1                                     # eval == 0
         i_vals = jnp.arange(1, fs + 1, dtype=jnp.int32)[None, :]
         cum = jnp.cumsum(root_mask.astype(jnp.int32), axis=1)
         selected = root_mask & (cum <= deg[:, None])
         found = jnp.sum(selected.astype(jnp.int32), axis=1)
-        k_vals = (i_vals * self.prim_inv - 1) % fs          # location of i
+        k_vals = (i_vals * self.prim_inv - 1) % fs
         fail_pad = jnp.any(selected & (k_vals < pad), axis=1)
         fail_count = found != deg
 
-        # roots in scan order, padded with fs+1
-        root_seq = jnp.sort(jnp.where(selected, i_vals, fs + 1), axis=1)
-        roots = root_seq[:, :t_max]                         # [B, t]
         jlane = jnp.arange(t_max, dtype=jnp.int32)[None, :]
         jvalid = jlane < deg[:, None]
+        iv = jnp.broadcast_to(i_vals, (B, fs))
+        roots = onehot_select(
+            jnp.where(selected, iv, 0), selected, t_max
+        ).astype(jnp.int32)                                        # [B, t]
         roots = jnp.where(jvalid, roots, 0)
         locs = jnp.where(jvalid, (roots * self.prim_inv - 1) % fs, 0)
 
-        # --- Forney: error evaluator Omega (decode.c:147-158) ---
-        ii = jnp.arange(nr, dtype=jnp.int32)
-        jj = jnp.arange(nr + 1, dtype=jnp.int32)
-        sidx = ii[:, None] - jj[None, :]                    # [nr, nr+1]
-        pair_valid = sidx >= 0
-        s_at = jnp.take(
-            s_log, jnp.clip(sidx, 0, nr - 1), axis=1
-        )                                                    # [B, nr, nr+1]
-        lam_at = el_log[:, None, :]                          # [B, 1, nr+1]
-        contrib = jnp.where(
-            pair_valid[None] & (s_at != fs) & (lam_at != fs),
-            jnp.take(log2exp, (s_at + lam_at) % fs),
-            0,
-        )
-        omega_norm = _xor_reduce(contrib, 2)                 # [B, nr]
-        omega_log = jnp.take(exp2log, omega_norm)
+        # --- Omega = S * lambda mod x^nr, entries masked to < deg
+        # (decode.c:147-158) ---
+        omega = jnp.zeros((B, nr), jnp.int32)
+        spad = s_norm
+        for j in range(nr + 1):
+            if j > 0:
+                spad = jnp.roll(spad, 1, axis=1).at[:, 0].set(0)
+            omega = omega ^ self._gf_mul(el[:, j : j + 1], spad)
+        ii = jnp.arange(nr, dtype=jnp.int32)[None, :]
+        omega = jnp.where(ii <= deg[:, None] - 1, omega, 0)
 
-        # numerator_j = Omega(root_j) (decode.c:160-169)
-        omega_i = ii[None, None, :]                          # eval index
-        num_valid = (omega_i <= (deg[:, None, None] - 1)) & (
-            omega_log[:, None, :] != fs
-        )
-        num_contrib = jnp.where(
-            num_valid,
-            jnp.take(
-                log2exp,
-                (omega_log[:, None, :] + omega_i * roots[:, :, None]) % fs,
-            ),
-            0,
-        )
-        numerator = _xor_reduce(num_contrib, 2)              # [B, t]
+        # --- Forney (decode.c:160-191): evaluate at all points, compact
+        # per-root with one-hot einsums ---
+        omega_evals = self._eval_at_all_points(omega, self.M_omega)   # [B, fs]
+        den_evals = self._eval_at_all_points(el, self.M_den)          # [B, fs]
+        numerator = onehot_select(
+            jnp.where(selected, omega_evals, 0), selected, t_max
+        ).astype(jnp.int32)
+        denominator = onehot_select(
+            jnp.where(selected, den_evals, 0), selected, t_max
+        ).astype(jnp.int32)
+        second = table_select(self.sec_tbl, roots)                    # [B, t]
 
-        # second numerator: uint16-wrapped root*(fcr-1)+fs (decode.c:175-176)
-        sec_arg = ((roots * (self.fcr - 1) + fs) & 0xFFFF) % fs
-        second = jnp.take(log2exp, sec_arg)
+        coeff = self._gf_mul(
+            self._gf_mul(numerator, second),
+            table_select(self.inv_tbl, denominator),
+        )
+        live = jvalid & (numerator != 0)
+        coeff = jnp.where(live, coeff, 0)
+        corrected = jnp.sum(live.astype(jnp.int32), axis=1)
 
-        # denominator: formal derivative at root (decode.c:179-185)
-        imax = jnp.minimum(deg, nr - 1) & ~1                 # [B]
-        di = jnp.arange(0, nr, 2, dtype=jnp.int32)           # even i
-        lam_odd = jnp.take(el_log, jnp.minimum(di + 1, nr), axis=1)  # [B, ceil(nr/2)]
-        den_valid = (di[None, None, :] <= imax[:, None, None]) & (
-            lam_odd[:, None, :] != fs
+        # --- syndrome re-verification (decode.c:193-209): syndromes of
+        # the correction vector must equal the original syndromes ---
+        corr_vec = scatter_mod2(
+            coeff, jnp.where(jvalid, locs, -1), fs
+        ).astype(jnp.int32)                                           # [B, fs]
+        vbits = gf2_matmul(
+            _symbols_to_bits(corr_vec, m).astype(jnp.float32), self.G_syn
         )
-        den_contrib = jnp.where(
-            den_valid,
-            jnp.take(
-                log2exp,
-                (lam_odd[:, None, :] + di[None, None, :] * roots[:, :, None]) % fs,
-            ),
-            0,
-        )
-        denominator = _xor_reduce(den_contrib, 2)            # [B, t]
-
-        coeff = jnp.take(
-            log2exp,
-            (
-                jnp.take(exp2log, numerator)
-                + jnp.take(exp2log, second)
-                + fs
-                - jnp.take(exp2log, denominator)
-            )
-            % fs,
-        )
-        coeff = jnp.where(jvalid & (numerator != 0), coeff, 0)
-        corrected = jnp.sum((jvalid & (numerator != 0)).astype(jnp.int32), axis=1)
-
-        # --- syndrome re-verification (decode.c:193-209) ---
-        vi = jnp.arange(nr, dtype=jnp.int32)                 # [nr]
-        kraw = (
-            (self.fcr + vi[None, :, None])
-            * self.prim
-            * (fs - locs[:, None, :] - 1)
-        )                                                    # [B, nr, t]
-        k16 = ((kraw + 0x8000) % 0x10000) - 0x8000           # int16 truncation
-        varg = (jnp.take(exp2log, coeff)[:, None, :] + k16) & 0xFFFF
-        vcontrib = jnp.where(
-            jvalid[:, None, :] & (coeff[:, None, :] != 0),
-            jnp.take(log2exp, varg % fs),
-            0,
-        )
-        v = _xor_reduce(vcontrib, 2)                         # [B, nr]
-        s_norm = jnp.take(log2exp, s_log)
+        v = _bits_to_symbols(vbits, m)
         fail_verify = jnp.any(v != s_norm, axis=1)
 
         # --- apply corrections ---
@@ -474,8 +445,8 @@ class RSCodec:
             # decode.c:211-214: XOR coeff_j at the user's erasure positions
             E = eras_pos.shape[1]
             posj = jnp.pad(eras_pos, ((0, 0), (0, max(0, t_max - E))))[:, :t_max]
-            onehot = jax.nn.one_hot(posj, size, dtype=jnp.int32)
-            vec = jnp.sum(onehot * jnp.where(jvalid, coeff, 0)[:, :, None], axis=1)
+            posj = jnp.where(jvalid, posj, -1)
+            vec = scatter_mod2(coeff, posj, size).astype(jnp.int32)
             data_out = data.astype(jnp.int32) ^ vec
             parity_out = parity.astype(jnp.int32)
             fail_apply = jnp.zeros((B,), dtype=bool)
@@ -489,18 +460,14 @@ class RSCodec:
             first_bad = jnp.min(jnp.where(bad, jlane, t_max), axis=1)
             app = jvalid & (jlane < first_bad[:, None])
             cval = jnp.where(app, coeff, 0)
-            oh_d = jax.nn.one_hot(
-                jnp.where(in_data & app, loc_pad, -1), size, dtype=jnp.int32
-            )
-            oh_p = jax.nn.one_hot(
-                jnp.where(in_parity & app, loc_pad - size, -1), nr, dtype=jnp.int32
-            )
-            data_out = data.astype(jnp.int32) ^ jnp.sum(
-                oh_d * cval[:, :, None], axis=1
-            )
-            parity_out = parity.astype(jnp.int32) ^ jnp.sum(
-                oh_p * cval[:, :, None], axis=1
-            )
+            dvec = scatter_mod2(
+                cval, jnp.where(in_data & app, loc_pad, -1), size
+            ).astype(jnp.int32)
+            pvec = scatter_mod2(
+                cval, jnp.where(in_parity & app, loc_pad - size, -1), nr
+            ).astype(jnp.int32)
+            data_out = data.astype(jnp.int32) ^ dvec
+            parity_out = parity.astype(jnp.int32) ^ pvec
 
         fail_pre = fail_deg | fail_pad | fail_count
         ok = ~(fail_pre | fail_verify | fail_apply)
@@ -515,62 +482,46 @@ class RSCodec:
 
     # ------------------------------------------------------ decode paths
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _decode_plain(self, data, parity):
-        B, size = data.shape
-        fs, nr = self.fs, self.num_roots
-        pad = fs - nr - size
-        s = self._syndrome(data, parity)
-        has_err = jnp.any(s != 0, axis=1)
-        s_log = jnp.take(self.exp2log_j, s)
-        zero_pos = jnp.zeros((B, 1), dtype=jnp.int32)
-        zero_cnt = jnp.zeros((B,), dtype=jnp.int32)
-        ok_c, d, p, corr = self._correct(
-            data, parity, s_log, zero_pos, zero_cnt, pad, erasure_apply=False
-        )
+    def _finish(self, has_err, data, parity, ok_c, d, p, corr):
         ok = jnp.where(has_err, ok_c, True)
         keep = ~has_err
         d = jnp.where(keep[:, None], data, d)
         p = jnp.where(keep[:, None], parity, p)
         corr = jnp.where(keep, 0, corr)
         return ok, d, p, corr
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode_plain(self, data, parity):
+        B, size = data.shape
+        pad = self.fs - self.num_roots - size
+        s = self._syndrome(data, parity)
+        has_err = jnp.any(s != 0, axis=1)
+        zero_pos = jnp.zeros((B, 1), dtype=jnp.int32)
+        zero_cnt = jnp.zeros((B,), dtype=jnp.int32)
+        out = self._correct(data, parity, s, zero_pos, zero_cnt, pad, False)
+        return self._finish(has_err, data, parity, *out)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _decode_erasure(self, data, parity, eras_pos, eras_count):
         B, size = data.shape
-        fs, nr = self.fs, self.num_roots
-        pad = fs - nr - size
+        pad = self.fs - self.num_roots - size
         s = self._syndrome(data, parity)
         has_err = jnp.any(s != 0, axis=1)
-        s_log = jnp.take(self.exp2log_j, s)
-        ok_c, d, p, corr = self._correct(
-            data, parity, s_log, eras_pos, eras_count, pad, erasure_apply=True
-        )
-        ok = jnp.where(has_err, ok_c, True)
-        keep = ~has_err
-        d = jnp.where(keep[:, None], data, d)
-        p = jnp.where(keep[:, None], parity, p)
-        corr = jnp.where(keep, 0, corr)
-        return ok, d, p, corr
+        out = self._correct(data, parity, s, eras_pos, eras_count, pad, True)
+        return self._finish(has_err, data, parity, *out)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _decode_ext_syndrome(self, data, parity, s_log):
+        """External log-form syndromes (decode.c:446-464): sentinel fs =
+        "no error"; converted once to normal domain."""
         B, size = data.shape
-        fs, nr = self.fs, self.num_roots
-        pad = fs - nr - size
-        has_err = jnp.any(s_log != fs, axis=1)
+        pad = self.fs - self.num_roots - size
+        has_err = jnp.any(s_log != self.fs, axis=1)
+        s_norm = table_select(self.log2exp_j, s_log)
         zero_pos = jnp.zeros((B, 1), dtype=jnp.int32)
         zero_cnt = jnp.zeros((B,), dtype=jnp.int32)
-        ok_c, d, p, corr = self._correct(
-            data, parity, s_log.astype(jnp.int32), zero_pos, zero_cnt, pad,
-            erasure_apply=False,
-        )
-        ok = jnp.where(has_err, ok_c, True)
-        keep = ~has_err
-        d = jnp.where(keep[:, None], data, d)
-        p = jnp.where(keep[:, None], parity, p)
-        corr = jnp.where(keep, 0, corr)
-        return ok, d, p, corr
+        out = self._correct(data, parity, s_norm, zero_pos, zero_cnt, pad, False)
+        return self._finish(has_err, data, parity, *out)
 
     def decode(self, data, parity, erasures=None, ext_syndrome=None):
         """Batched decode.
