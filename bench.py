@@ -21,8 +21,8 @@ import time
 
 import numpy as np
 
-BATCH = 4096
-LDPC_BATCH = 8192
+BATCH = 16384
+LDPC_BATCH = 16384
 
 
 def log(obj):

@@ -450,39 +450,46 @@ class LDPCCodec:
     def _check_update(self, v2c):
         """Normalized two-minimum min-sum (ldpc.c:693-738).
 
-        v2c: [V*dv, B] var-centric messages.  Returns c2v [C*dc, B]."""
+        v2c: [V*dv, B] int16 var-centric messages. Returns c2v [C*dc, B]
+        int16.  All storage/gather traffic is int16; the alpha = 15/16
+        scaling is (x*15)>>4 in int32 (exact C truncating division for
+        the non-negative magnitudes).
+        """
         B = v2c.shape[1]
         P, dc = self.parity_bits, self.dc
-        pad = jnp.full((1, B), LLR_MAX, dtype=v2c.dtype)
+        pad = jnp.full((1, B), LLR_MAX, dtype=jnp.int16)
         vflat = jnp.concatenate([v2c, pad], axis=0)
         g = jnp.take(vflat, self.check_gather, axis=0).reshape(P, dc, B)
 
         neg = g < 0
-        row_neg = jnp.sum(neg, axis=1) & 1                      # [P, B]
-        absg = jnp.where(neg, -g, g)
+        row_neg = (jnp.sum(neg, axis=1, dtype=jnp.int32) & 1).astype(jnp.int16)
+        absg = jnp.where(neg, jnp.negative(g), g)               # int16
         min1 = jnp.min(absg, axis=1)                            # [P, B]
         idx = jnp.argmin(absg, axis=1)                          # first min
         slot = jnp.arange(dc, dtype=jnp.int32)[None, :, None]
         is_min1 = slot == idx[:, None, :]
-        masked = jnp.where(is_min1, LLR_MAX, absg)
+        masked = jnp.where(is_min1, jnp.int16(LLR_MAX), absg)
         min2 = jnp.min(masked, axis=1)
         mag = jnp.where(is_min1, min2[:, None, :], min1[:, None, :])
-        mag = (mag.astype(jnp.int32) * 15) // 16                # alpha = 15/16
-        row_sign = 1 - 2 * row_neg                              # [P, B]
-        sgn = jnp.where(neg, -row_sign[:, None, :], row_sign[:, None, :])
+        mag = ((mag.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
+        row_sign = (1 - 2 * row_neg).astype(jnp.int16)          # [P, B]
+        sgn = jnp.where(neg, jnp.negative(row_sign)[:, None, :],
+                        row_sign[:, None, :])
         return (sgn * mag).reshape(P * dc, B)
 
     def _var_update(self, c2v_flat, channel):
-        """ldpc.c:740-766.  c2v_flat [C*dc, B]; channel [V, B] int32.
-        Returns (llr_total [V, B], v2c [V*dv, B])."""
+        """ldpc.c:740-766.  c2v_flat [C*dc, B] int16; channel [V, B] int16.
+        Returns (llr_total [V, B] int16, v2c [V*dv, B] int16).
+        Sums run in int32 (the reference accumulates in int32 and only
+        saturates the stored values, ldpc.c:753-764)."""
         B = c2v_flat.shape[1]
         V, dv = self.codeword_bits, self.dv
-        pad = jnp.zeros((1, B), dtype=c2v_flat.dtype)
+        pad = jnp.zeros((1, B), dtype=jnp.int16)
         cflat = jnp.concatenate([c2v_flat, pad], axis=0)
         h = jnp.take(cflat, self.var_gather, axis=0).reshape(V, dv, B)
-        total = channel + h.sum(axis=1, dtype=jnp.int32)        # raw int32 sum
-        llr_total = jnp.clip(total, LLR_MIN, LLR_MAX)
-        v2c = jnp.clip(total[:, None, :] - h, LLR_MIN, LLR_MAX)
+        total = channel.astype(jnp.int32) + h.sum(axis=1, dtype=jnp.int32)
+        llr_total = jnp.clip(total, LLR_MIN, LLR_MAX).astype(jnp.int16)
+        v2c = jnp.clip(total[:, None, :] - h, LLR_MIN, LLR_MAX).astype(jnp.int16)
         return llr_total, v2c.reshape(V * dv, B)
 
     def _bp_loop(self, llr_init, channel_soft, bits_init, conv0, max_iterations):
@@ -496,6 +503,7 @@ class LDPCCodec:
         """
         V, B = llr_init.shape
         dv = self.dv
+        llr_init = llr_init.astype(jnp.int16)
         v2c0 = jnp.broadcast_to(llr_init[:, None, :], (V, dv, B)).reshape(V * dv, B)
 
         state = dict(
@@ -506,7 +514,7 @@ class LDPCCodec:
             converged=conv0,
             # derived from a varying input so the carry type is stable
             # under shard_map manual axes
-            iters=llr_init[0, :] * 0,
+            iters=llr_init[0, :].astype(jnp.int32) * 0,
             it=jnp.int32(0),
         )
 
@@ -563,8 +571,8 @@ class LDPCCodec:
                 jnp.take(work, jnp.clip(g, 0, None), axis=0),
                 0,
             )
-        channel = work * LLR_SCALE
-        llr0 = jnp.clip(channel, LLR_MIN, LLR_MAX)
+        channel = (work * LLR_SCALE).astype(jnp.int16)  # |llr*256| <= 32512
+        llr0 = jnp.clip(work * LLR_SCALE, LLR_MIN, LLR_MAX)
         bits0 = work * 0
         conv0 = (work[0, :] * 0).astype(bool)  # soft path has no pre-check
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
