@@ -42,6 +42,26 @@ def time_fn(fn, *args, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_reference_ldpc(cw, n=256):
+    """Reference C library LDPC hard decode, codewords/s (single core)."""
+    sys.path.insert(0, "tests")
+    try:
+        import oracle
+
+        if not oracle.available():
+            return None
+        ref = oracle.LDPC(128, 1)
+        t0 = time.perf_counter()
+        for i in range(n):
+            ref.decode_hard(cw[i % len(cw)])
+        dt = time.perf_counter() - t0
+        ref.close()
+        return n / dt
+    except Exception as e:
+        log({"reference_ldpc_bench_error": str(e)})
+        return None
+
+
 def bench_reference_rs(corrupt, parity, n=512):
     """Reference C library RS decode, codewords/s (single core)."""
     sys.path.insert(0, "tests")
@@ -151,6 +171,10 @@ def main():
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
 
     # ---------------- reference C library baseline ----------------
+    ref_ldpc = bench_reference_ldpc(cw[:256])
+    if ref_ldpc:
+        log({"bench": "reference_ldpc_hard_decode", "codewords_per_s": ref_ldpc,
+             "tpu_vs_ref": ldpc_cws / ref_ldpc})
     ref_cws = bench_reference_rs(corrupt, parity)
     vs = rs_dec_cws / ref_cws if ref_cws else 0.0
     if ref_cws:

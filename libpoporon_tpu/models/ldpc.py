@@ -288,15 +288,19 @@ class LdpcStructure:
         e_v[self.cv_edge_idx] = self.col_idx[self.cv_edge_idx]
         e_t[self.cv_edge_idx] = cv_pos - self.col_ptr[self.col_idx[self.cv_edge_idx]]
 
+        # Slot-major layouts: messages live as [slots, C-or-V, B] with
+        # the slot index on the LEADING axis, so min/sum reductions run
+        # over axis 0 (accumulation over [C, B] slices — the fast shape
+        # on TPU).  Flat message arrays are [slot*C + c] / [slot*V + v].
         # check-centric gather of var-centric messages
-        check_gather = np.full((P, dc), V * dv, dtype=np.int64)  # sentinel
-        check_gather[e_c, e_s] = e_v * dv + e_t
+        check_gather = np.full((dc, P), dv * V, dtype=np.int64)  # sentinel
+        check_gather[e_s, e_c] = e_t * V + e_v
         # var-centric gather of check-centric messages
-        var_gather = np.full((V, dv), P * dc, dtype=np.int64)
-        var_gather[e_v, e_t] = e_c * dc + e_s
+        var_gather = np.full((dv, V), dc * P, dtype=np.int64)
+        var_gather[e_t, e_v] = e_s * P + e_c
         # column index per check slot (for syndrome checks)
-        row2col = np.full((P, dc), V, dtype=np.int64)
-        row2col[e_c, e_s] = self.col_idx
+        row2col = np.full((dc, P), V, dtype=np.int64)
+        row2col[e_s, e_c] = self.col_idx
 
         # info-only row slots for the staircase encoder
         info_mask = self.col_idx < self.info_bits
@@ -307,13 +311,23 @@ class LdpcStructure:
         # are contiguous from row start)
         irank = np.arange(E, dtype=np.int64)[info_mask] - self.row_ptr[ic]
         dci = int(np.bincount(ic, minlength=P).max()) if len(ic) else 1
-        row_info = np.full((P, dci), self.info_bits, dtype=np.int64)
-        row_info[ic, irank] = icol
+        row_info = np.full((dci, P), self.info_bits, dtype=np.int64)
+        row_info[irank, ic] = icol
+
+        # dense parity-check matrix for matmul-based syndrome checks /
+        # encodes on small codes (the MXU replaces the edge gather)
+        H = None
+        if P * V <= (1 << 24):
+            # edge MULTIPLICITY matters mod 2: the reference XORs per
+            # edge, so parallel edges (duplicate RNG draws) cancel
+            Hcnt = np.zeros((P, V), dtype=np.int64)
+            np.add.at(Hcnt, (e_c, self.col_idx), 1)
+            H = (Hcnt & 1).astype(np.uint8)
 
         return dict(
             dc=dc, dv=dv, dci=dci,
             check_gather=check_gather, var_gather=var_gather,
-            row2col=row2col, row_info=row_info,
+            row2col=row2col, row_info=row_info, H=H,
         )
 
 
@@ -359,6 +373,9 @@ class LDPCCodec:
         self.var_gather = jnp.asarray(lay["var_gather"].reshape(-1), i32)
         self.row2col = jnp.asarray(lay["row2col"].reshape(-1), i32)
         self.row_info = jnp.asarray(lay["row_info"], i32)
+        self.H_dense = (
+            jnp.asarray(lay["H"], jnp.bfloat16) if lay["H"] is not None else None
+        )
 
         self.inner_fwd = (
             jnp.asarray(s.inner_forward, i32) if s.inner_forward is not None else None
@@ -420,10 +437,17 @@ class LDPCCodec:
     def _encode(self, info_bytes):
         bits_T = bitutils.unpack_jnp(info_bytes, self.info_bits).astype(jnp.int32).T
         B = bits_T.shape[1]
-        padded = jnp.concatenate([bits_T, jnp.zeros((1, B), jnp.int32)], axis=0)
-        g = jnp.take(padded, self.row_info.reshape(-1), axis=0)
-        g = g.reshape(self.parity_bits, self.dci, B)
-        s = g.sum(axis=1) & 1                       # [C, B] row info-sums
+        if self.H_dense is not None:
+            h_info = self.H_dense[:, : self.info_bits]
+            s = jnp.dot(
+                h_info, bits_T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32) & 1                 # [C, B] row info-sums (MXU)
+        else:
+            padded = jnp.concatenate([bits_T, jnp.zeros((1, B), jnp.int32)], axis=0)
+            g = jnp.take(padded, self.row_info.reshape(-1), axis=0)
+            g = g.reshape(self.dci, self.parity_bits, B)
+            s = g.sum(axis=0) & 1                   # [C, B] row info-sums
         parity = jnp.cumsum(s, axis=0) & 1          # staircase prefix-XOR
         return bitutils.pack_jnp(parity.T.astype(jnp.uint8))
 
@@ -442,10 +466,16 @@ class LDPCCodec:
     def _syndrome_ok_T(self, bits_T):
         """bits [V, B] -> [B] all-checks-satisfied (ldpc.c:635-653)."""
         B = bits_T.shape[1]
+        if self.H_dense is not None:
+            s = jnp.dot(
+                self.H_dense, bits_T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32) & 1
+            return ~jnp.any(s, axis=0)
         padded = jnp.concatenate([bits_T, jnp.zeros((1, B), bits_T.dtype)], axis=0)
         g = jnp.take(padded, self.row2col, axis=0)
-        g = g.reshape(self.parity_bits, self.dc, B)
-        return ~jnp.any(g.sum(axis=1) & 1, axis=0)
+        g = g.reshape(self.dc, self.parity_bits, B)
+        return ~jnp.any(g.sum(axis=0) & 1, axis=0)
 
     def _check_update(self, v2c):
         """Normalized two-minimum min-sum (ldpc.c:693-738).
@@ -459,23 +489,23 @@ class LDPCCodec:
         P, dc = self.parity_bits, self.dc
         pad = jnp.full((1, B), LLR_MAX, dtype=jnp.int16)
         vflat = jnp.concatenate([v2c, pad], axis=0)
-        g = jnp.take(vflat, self.check_gather, axis=0).reshape(P, dc, B)
+        g = jnp.take(vflat, self.check_gather, axis=0).reshape(dc, P, B)
 
         neg = g < 0
-        row_neg = (jnp.sum(neg, axis=1, dtype=jnp.int32) & 1).astype(jnp.int16)
+        row_neg = (jnp.sum(neg, axis=0, dtype=jnp.int32) & 1).astype(jnp.int16)
         absg = jnp.where(neg, jnp.negative(g), g)               # int16
-        min1 = jnp.min(absg, axis=1)                            # [P, B]
-        idx = jnp.argmin(absg, axis=1)                          # first min
-        slot = jnp.arange(dc, dtype=jnp.int32)[None, :, None]
-        is_min1 = slot == idx[:, None, :]
+        min1 = jnp.min(absg, axis=0)                            # [P, B]
+        idx = jnp.argmin(absg, axis=0)                          # first min
+        slot = jnp.arange(dc, dtype=jnp.int32)[:, None, None]
+        is_min1 = slot == idx[None, :, :]
         masked = jnp.where(is_min1, jnp.int16(LLR_MAX), absg)
-        min2 = jnp.min(masked, axis=1)
-        mag = jnp.where(is_min1, min2[:, None, :], min1[:, None, :])
+        min2 = jnp.min(masked, axis=0)
+        mag = jnp.where(is_min1, min2[None], min1[None])
         mag = ((mag.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
         row_sign = (1 - 2 * row_neg).astype(jnp.int16)          # [P, B]
-        sgn = jnp.where(neg, jnp.negative(row_sign)[:, None, :],
-                        row_sign[:, None, :])
-        return (sgn * mag).reshape(P * dc, B)
+        sgn = jnp.where(neg, jnp.negative(row_sign)[None],
+                        row_sign[None])
+        return (sgn * mag).reshape(dc * P, B)
 
     def _var_update(self, c2v_flat, channel):
         """ldpc.c:740-766.  c2v_flat [C*dc, B] int16; channel [V, B] int16.
@@ -486,11 +516,11 @@ class LDPCCodec:
         V, dv = self.codeword_bits, self.dv
         pad = jnp.zeros((1, B), dtype=jnp.int16)
         cflat = jnp.concatenate([c2v_flat, pad], axis=0)
-        h = jnp.take(cflat, self.var_gather, axis=0).reshape(V, dv, B)
-        total = channel.astype(jnp.int32) + h.sum(axis=1, dtype=jnp.int32)
+        h = jnp.take(cflat, self.var_gather, axis=0).reshape(dv, V, B)
+        total = channel.astype(jnp.int32) + h.sum(axis=0, dtype=jnp.int32)
         llr_total = jnp.clip(total, LLR_MIN, LLR_MAX).astype(jnp.int16)
-        v2c = jnp.clip(total[:, None, :] - h, LLR_MIN, LLR_MAX).astype(jnp.int16)
-        return llr_total, v2c.reshape(V * dv, B)
+        v2c = jnp.clip(total[None] - h, LLR_MIN, LLR_MAX).astype(jnp.int16)
+        return llr_total, v2c.reshape(dv * V, B)
 
     def _bp_loop(self, llr_init, channel_soft, bits_init, conv0, max_iterations):
         """Shared BP driver (transposed layout).
@@ -504,7 +534,7 @@ class LDPCCodec:
         V, B = llr_init.shape
         dv = self.dv
         llr_init = llr_init.astype(jnp.int16)
-        v2c0 = jnp.broadcast_to(llr_init[:, None, :], (V, dv, B)).reshape(V * dv, B)
+        v2c0 = jnp.broadcast_to(llr_init[None], (dv, V, B)).reshape(dv * V, B)
 
         state = dict(
             v2c=v2c0,
