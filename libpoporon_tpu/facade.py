@@ -183,9 +183,18 @@ class Codec:
             )
         cw = jnp.concatenate([data, parity], axis=-1)
         # use_soft_decode with no LLRs silently falls back to hard
-        # decoding (reference quirk, decode.c:509-514)
+        # decoding (reference quirk, decode.c:509-514).  Large batches
+        # use the two-phase adaptive driver (bit-identical results).
+        adaptive = data.shape[0] >= 512
         if cfg.use_soft_decode and soft_llr is not None:
-            ok, cw_out, iters = c.decode_soft(soft_llr, cfg.max_iterations)
+            if adaptive:
+                ok, cw_out, iters = c.decode_soft_adaptive(
+                    soft_llr, cfg.max_iterations
+                )
+            else:
+                ok, cw_out, iters = c.decode_soft(soft_llr, cfg.max_iterations)
+        elif adaptive:
+            ok, cw_out, iters = c.decode_hard_adaptive(cw, cfg.max_iterations)
         else:
             ok, cw_out, iters = c.decode_hard(cw, cfg.max_iterations)
         info = cw_out[..., : c.info_bytes]

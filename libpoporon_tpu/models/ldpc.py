@@ -608,6 +608,61 @@ class LDPCCodec:
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
         return ok, self._pack_cw_T(out), iters
 
+    # ---------------------------------------------- adaptive two-phase
+    #
+    # BP trajectories are per-element deterministic and independent of
+    # the rest of the batch, so a batch decode can run a short first
+    # phase (where most codewords converge and the while_loop exits
+    # early) and re-decode only the compacted stragglers with the full
+    # iteration budget.  Results (outputs AND iterations_used) are
+    # bit-identical to a single full-budget call; wall-clock drops by
+    # the straggler fraction.  Phase-2 batches are padded to power-of-2
+    # buckets to bound recompilation.
+
+    PHASE1_ITERS = 8
+
+    def _bucket(self, n: int) -> int:
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+
+    def _decode_adaptive(self, decode_fn, inputs, max_iterations: int):
+        ok, cw, iters = decode_fn(inputs, min(self.PHASE1_ITERS, max_iterations))
+        if max_iterations <= self.PHASE1_ITERS:
+            return ok, cw, iters
+        ok_h = np.asarray(ok)
+        if ok_h.all():
+            return ok, cw, iters
+        idx = np.flatnonzero(~ok_h)
+        nb = self._bucket(len(idx))
+        sel = np.resize(idx, nb)  # pad by repeating stragglers
+        sub = jnp.asarray(np.asarray(inputs)[sel])
+        ok2, cw2, it2 = decode_fn(sub, max_iterations)
+        ok = np.asarray(ok).copy()
+        cw_np = np.asarray(cw).copy()
+        it_np = np.asarray(iters).copy()
+        ok[idx] = np.asarray(ok2)[: len(idx)]
+        cw_np[idx] = np.asarray(cw2)[: len(idx)]
+        it_np[idx] = np.asarray(it2)[: len(idx)]
+        return jnp.asarray(ok), jnp.asarray(cw_np), jnp.asarray(it_np)
+
+    def decode_hard_adaptive(self, codeword, max_iterations: int = 0):
+        """decode_hard with two-phase straggler compaction (bit-identical
+        results, host-side batch surgery between the phases)."""
+        codeword = np.asarray(codeword)
+        mi = max_iterations or self.max_iterations
+        return self._decode_adaptive(
+            lambda cw, m: self._decode_hard(cw, m), codeword, mi
+        )
+
+    def decode_soft_adaptive(self, llr, max_iterations: int = 0):
+        llr = np.asarray(llr, dtype=np.int8)
+        mi = max_iterations or self.max_iterations
+        return self._decode_adaptive(
+            lambda l, m: self._decode_soft(l, m), llr, mi
+        )
+
     def decode_hard(self, codeword, max_iterations: int = 0):
         """codeword uint8 [B, codeword_bytes] -> (ok, codeword_out, iters).
 

@@ -206,3 +206,42 @@ class TestEncodeDecode:
         # decode returns the ORIGINAL (outer-deinterleaved) data, not the
         # interleaved form the encoder leaves in the caller's buffer
         np.testing.assert_array_equal(np.asarray(res.data), data)
+
+
+class TestAdaptive:
+    def test_adaptive_matches_plain(self):
+        c = codec(block=64)
+        rng = np.random.default_rng(77)
+        info = rng.integers(0, 256, (32, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        bad = cw.copy()
+        # mixture: clean, light, heavy (non-converging) corruption
+        for b in range(32):
+            nf = [0, 1, 3, 40][b % 4]
+            for p in rng.choice(c.codeword_bits, nf, replace=False):
+                bad[b, p // 8] ^= 1 << (7 - (p % 8))
+        ok1, out1, it1 = map(np.asarray, c.decode_hard(bad))
+        ok2, out2, it2 = map(np.asarray, c.decode_hard_adaptive(bad))
+        np.testing.assert_array_equal(ok1, ok2)
+        np.testing.assert_array_equal(out1, out2)
+        np.testing.assert_array_equal(it1, it2)
+
+    def test_adaptive_soft_matches_plain(self):
+        from libpoporon_tpu.utils import bits as bitutils
+        c = codec(block=64)
+        rng = np.random.default_rng(78)
+        info = rng.integers(0, 256, (16, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        cb = bitutils.unpack_np(cw, c.codeword_bits)
+        llr = np.where(cb == 1, -100, 100).astype(np.int8)
+        for b in range(16):
+            nf = [0, 2, 6, 60][b % 4]
+            pos = rng.choice(c.codeword_bits, nf, replace=False)
+            llr[b, pos] = -llr[b, pos]
+        ok1, out1, it1 = map(np.asarray, c.decode_soft(llr))
+        ok2, out2, it2 = map(np.asarray, c.decode_soft_adaptive(llr))
+        np.testing.assert_array_equal(ok1, ok2)
+        np.testing.assert_array_equal(out1, out2)
+        np.testing.assert_array_equal(it1, it2)
