@@ -619,7 +619,7 @@ class LDPCCodec:
     # the straggler fraction.  Phase-2 batches are padded to power-of-2
     # buckets to bound recompilation.
 
-    PHASE1_ITERS = 8
+    STAGES = (2, 8)  # iteration budgets before the full-budget stage
 
     def _bucket(self, n: int) -> int:
         b = 256
@@ -627,25 +627,59 @@ class LDPCCodec:
             b *= 2
         return b
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _merge_subset(self, ok1, cw1, it1, ok2, cw2, it2, wsel):
+        """Place subset results (rows `wsel`, sentinel = B drops) into the
+        full-batch results.  One-hot matmul placement — TPU scatters are
+        sort-based and slow, bulk host transfers are slower still."""
+        B = ok1.shape[0]
+        oh = (wsel[None, :] == jnp.arange(B, dtype=jnp.int32)[:, None]).astype(
+            jnp.bfloat16
+        )                                                   # [B, nb]
+        replaced = oh.sum(axis=1).astype(jnp.int32) > 0     # [B]
+        cw_p = jnp.dot(oh, cw2.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(jnp.uint8)
+        ohf = oh.astype(jnp.float32)
+        ok_p = jnp.dot(ohf, ok2.astype(jnp.float32)[:, None],
+                       preferred_element_type=jnp.float32)[:, 0] > 0
+        it_p = jnp.dot(ohf, it2.astype(jnp.float32)[:, None],
+                       preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+        return (
+            jnp.where(replaced, ok_p, ok1),
+            jnp.where(replaced[:, None], cw_p, cw1),
+            jnp.where(replaced, it_p, it1),
+        )
+
     def _decode_adaptive(self, decode_fn, inputs, max_iterations: int):
-        ok, cw, iters = decode_fn(inputs, min(self.PHASE1_ITERS, max_iterations))
-        if max_iterations <= self.PHASE1_ITERS:
-            return ok, cw, iters
-        ok_h = np.asarray(ok)
-        if ok_h.all():
-            return ok, cw, iters
-        idx = np.flatnonzero(~ok_h)
-        nb = self._bucket(len(idx))
-        sel = np.resize(idx, nb)  # pad by repeating stragglers
-        sub = jnp.asarray(np.asarray(inputs)[sel])
-        ok2, cw2, it2 = decode_fn(sub, max_iterations)
-        ok = np.asarray(ok).copy()
-        cw_np = np.asarray(cw).copy()
-        it_np = np.asarray(iters).copy()
-        ok[idx] = np.asarray(ok2)[: len(idx)]
-        cw_np[idx] = np.asarray(cw2)[: len(idx)]
-        it_np[idx] = np.asarray(it2)[: len(idx)]
-        return jnp.asarray(ok), jnp.asarray(cw_np), jnp.asarray(it_np)
+        """Cascaded decode: cheap iteration budgets on the full batch,
+        stragglers compacted (device-side) and re-decoded with bigger
+        budgets.  Per-element BP trajectories are deterministic and
+        batch-independent, so results are bit-identical to one
+        full-budget call."""
+        inputs = jnp.asarray(inputs)  # device-resident throughout
+
+        def run(inp, stages):
+            ok, cw, iters = decode_fn(inp, stages[0])
+            if len(stages) == 1:
+                return ok, cw, iters
+            ok_h = np.asarray(ok)  # only the [B] mask crosses to the host
+            if ok_h.all():
+                return ok, cw, iters
+            idx = np.flatnonzero(~ok_h)
+            k = len(idx)
+            nb = self._bucket(k)
+            B = inp.shape[0]
+            sel = np.resize(idx, nb)
+            sub = jnp.take(inp, jnp.asarray(sel), axis=0)  # device row gather
+            ok2, cw2, it2 = run(sub, stages[1:])
+            wsel = jnp.asarray(
+                np.where(np.arange(nb) < k, sel, B).astype(np.int32)
+            )
+            return self._merge_subset(ok, cw, iters, ok2, cw2, it2, wsel)
+
+        stages = [s for s in self.STAGES if s < max_iterations]
+        stages.append(max_iterations)
+        return run(inputs, stages)
 
     def decode_hard_adaptive(self, codeword, max_iterations: int = 0):
         """decode_hard with two-phase straggler compaction (bit-identical
