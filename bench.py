@@ -156,7 +156,7 @@ def main():
     dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=1, iters=3)
     log({"bench": "ldpc_r12_128B_hard_4err_fixed", "codewords_per_s": LDPC_BATCH / dt,
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
-    dt = time_fn(lambda c: lc.decode_hard_adaptive(c, 50), cw, warmup=1, iters=3)
+    dt = time_fn(lambda c: lc.decode_hard_adaptive(c, 50), cwj, warmup=1, iters=3)
     ldpc_cws = LDPC_BATCH / dt
     ldpc_mbits = ldpc_cws * lc.codeword_bits / 1e6
     log({"bench": "ldpc_r12_128B_hard_4err", "codewords_per_s": ldpc_cws,
@@ -168,7 +168,8 @@ def main():
     cb = bitutils.unpack_np(cw, lc.codeword_bits)
     llr = np.where(cb == 1, -90, 90).astype(np.int8)
     llr = (llr + rng.integers(-25, 26, llr.shape)).clip(-127, 127).astype(np.int8)
-    dt = time_fn(lambda l: lc.decode_soft_adaptive(l, 50), llr, warmup=1, iters=3)
+    lj = jax.device_put(llr)
+    dt = time_fn(lambda l: lc.decode_soft_adaptive(l, 50), lj, warmup=1, iters=3)
     log({"bench": "ldpc_r12_128B_soft", "codewords_per_s": LDPC_BATCH / dt,
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
 

@@ -682,16 +682,16 @@ class LDPCCodec:
         return run(inputs, stages)
 
     def decode_hard_adaptive(self, codeword, max_iterations: int = 0):
-        """decode_hard with two-phase straggler compaction (bit-identical
-        results, host-side batch surgery between the phases)."""
-        codeword = np.asarray(codeword)
+        """decode_hard with cascaded straggler compaction (bit-identical
+        results).  Accepts host or device arrays; stays device-resident."""
+        codeword = jnp.asarray(codeword, dtype=jnp.uint8)
         mi = max_iterations or self.max_iterations
         return self._decode_adaptive(
             lambda cw, m: self._decode_hard(cw, m), codeword, mi
         )
 
     def decode_soft_adaptive(self, llr, max_iterations: int = 0):
-        llr = np.asarray(llr, dtype=np.int8)
+        llr = jnp.asarray(llr, dtype=jnp.int8)
         mi = max_iterations or self.max_iterations
         return self._decode_adaptive(
             lambda l, m: self._decode_soft(l, m), llr, mi
