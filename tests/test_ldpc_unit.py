@@ -245,3 +245,43 @@ class TestAdaptive:
         np.testing.assert_array_equal(ok1, ok2)
         np.testing.assert_array_equal(out1, out2)
         np.testing.assert_array_equal(it1, it2)
+
+
+class TestBigBlocks:
+    def test_max_block_rate_13_roundtrip(self):
+        """8192-byte blocks, rate 1/3 — the gather (non-dense-H) path."""
+        c = codec(block=8192, rate=LdpcRate.RATE_1_3)
+        assert c.H_dense is None  # falls back to edge gathers
+        rng = np.random.default_rng(0)
+        info = rng.integers(0, 256, (2, c.info_bytes), dtype=np.uint8)
+        par = np.asarray(c.encode(info))
+        cw = np.concatenate([info, par], axis=1)
+        assert np.asarray(c.check(cw)).all()
+        bad = cw.copy()
+        bad[:, 100] ^= 0x10
+        bad[:, 5000] ^= 0x02
+        ok, out, iters = map(np.asarray, c.decode_hard(bad))
+        assert ok.all()
+        np.testing.assert_array_equal(out, cw)
+
+
+class TestSoftBER:
+    def test_awgn_1e2_ber_decode(self):
+        """BASELINE config #5: soft LLR decode at ~1e-2 channel BER."""
+        from libpoporon_tpu.utils import bits as bitutils
+        from libpoporon_tpu.utils.faults import awgn_llrs
+        c = codec(block=128)
+        rng = np.random.default_rng(9)
+        B = 16
+        info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+        par = np.asarray(c.encode(info))
+        cw = np.concatenate([info, par], axis=1)
+        cb = bitutils.unpack_np(cw, c.codeword_bits)
+        llr = awgn_llrs(cb, snr_db=4.3, rng=10)
+        raw_ber = ((llr < 0).astype(np.uint8) != cb).mean()
+        assert 0.002 < raw_ber < 0.05  # ~1e-2 regime
+        ok, out, iters = map(np.asarray, c.decode_soft(llr))
+        # BP at this SNR should fix the overwhelming majority
+        assert ok.mean() >= 0.8
+        decoded_bits = bitutils.unpack_np(out[ok], c.codeword_bits)
+        np.testing.assert_array_equal(decoded_bits, cb[ok])
