@@ -13,11 +13,16 @@ TPU execution:
 * The min-sum belief-propagation decoder (ldpc.c:693-778) runs as a
   batched jitted loop over DENSE padded layouts instead of per-edge
   scalar loops: variable-to-check messages live in a var-centric
-  [B, V, dv_max] tensor (info columns have exactly column_weight edges,
-  parity columns <= 2, so padding waste is tiny), check-node updates
-  gather them into a check-centric [B, C, dc_max] view with
-  *constant* indices, and no scatters are needed anywhere — each
-  layout is the gather-inverse of the other.
+  [dv_max, V+1, B] tensor (info columns have exactly column_weight
+  edges, parity columns <= 2, so padding waste is tiny; row V is a
+  fake variable pinned at +LLR_MAX that absorbs all gather padding),
+  check-node updates gather them into DEGREE-BUCKETED check-centric
+  planes [dc_b, P_b, B] with *constant* indices (row degrees are
+  heavily skewed, so per-bucket padding cuts gather and VPU traffic
+  >2x vs one max-degree plane), and no scatters are needed anywhere —
+  each layout is the gather-inverse of the other.  The two-minimum
+  rule is computed by plain reductions (min, tie count, masked strict
+  second min) rather than argmin bookkeeping.
 
 * Early termination is per-batch-element: a converged mask freezes each
   element's output at its first syndrome-clean iteration (matching the
@@ -56,6 +61,43 @@ LLR_SCALE = 256
 
 class LdpcError(ValueError):
     pass
+
+
+def _degree_buckets(row_counts: np.ndarray, max_buckets: int = 3):
+    """Partition checks into <=max_buckets degree classes minimizing the
+    total padded plane size sum(dc_b * P_b).  Exhaustive search over
+    split degrees — the degree alphabet is tiny (<= ~20 values)."""
+    degs = np.unique(row_counts)
+    best, best_cost = None, None
+    hist = {int(d): int((row_counts == d).sum()) for d in degs}
+
+    def cost_of(splits):
+        lo = 0
+        total = 0
+        for hi in splits:
+            n = sum(v for d, v in hist.items() if lo < d <= hi)
+            total += n * hi
+            lo = hi
+        return total
+
+    import itertools
+
+    dlist = [int(d) for d in degs]
+    for k in range(1, min(max_buckets, len(dlist)) + 1):
+        for mids in itertools.combinations(dlist[:-1], k - 1):
+            splits = list(mids) + [dlist[-1]]
+            c = cost_of(splits)
+            if best_cost is None or c < best_cost:
+                best, best_cost = splits, c
+
+    out = []
+    lo = 0
+    for hi in best:
+        sel = np.flatnonzero((row_counts > lo) & (row_counts <= hi))
+        if len(sel):
+            out.append(dict(checks=sel, dc=int(hi)))
+        lo = hi
+    return out
 
 
 # =====================================================================
@@ -292,15 +334,48 @@ class LdpcStructure:
         # the slot index on the LEADING axis, so min/sum reductions run
         # over axis 0 (accumulation over [C, B] slices — the fast shape
         # on TPU).  Flat message arrays are [slot*C + c] / [slot*V + v].
-        # check-centric gather of var-centric messages
-        check_gather = np.full((dc, P), dv * V, dtype=np.int64)  # sentinel
-        check_gather[e_s, e_c] = e_t * V + e_v
-        # var-centric gather of check-centric messages
-        var_gather = np.full((dv, V), dc * P, dtype=np.int64)
-        var_gather[e_t, e_v] = e_s * P + e_c
-        # column index per check slot (for syndrome checks)
-        row2col = np.full((dc, P), V, dtype=np.int64)
-        row2col[e_s, e_c] = self.col_idx
+        #
+        # Checks are PERMUTED into degree buckets: row degrees are
+        # heavily skewed (binomial info draws + staircase), so padding
+        # every check to the max degree more than doubles gather and
+        # VPU traffic.  Each bucket has its own padded plane
+        # [dc_b, P_b, B]; check order is semantically irrelevant (the
+        # syndrome is a conjunction), and all index arrays below are
+        # built directly in bucketed storage order, so the permutation
+        # costs nothing at runtime.
+        buckets = _degree_buckets(row_counts)
+        # bucketed storage position of each check + flat-layout offsets
+        pos_in_bucket = np.zeros(P, dtype=np.int64)
+        bucket_of = np.zeros(P, dtype=np.int64)
+        offsets = np.zeros(len(buckets), dtype=np.int64)
+        sizes = np.zeros(len(buckets), dtype=np.int64)
+        off = 0
+        for bi, b in enumerate(buckets):
+            chk = b["checks"]
+            pos_in_bucket[chk] = np.arange(len(chk), dtype=np.int64)
+            bucket_of[chk] = bi
+            offsets[bi] = off
+            sizes[bi] = len(chk)
+            off += b["dc"] * len(chk)
+        c2v_size = off
+        # edge -> flat bucketed c2v index
+        eb = bucket_of[e_c]
+        e_flat = offsets[eb] + e_s * sizes[eb] + pos_in_bucket[e_c]
+
+        # Var-major tensors carry one trailing FAKE variable (index V)
+        # whose channel/total/v2c stay at +LLR_MAX and whose bit stays
+        # 0: check-side gathers and the syndrome point their padding
+        # slots at it, so no mask/select pass is needed on the big
+        # check-centric tensors.
+        # check-centric gather of var-centric messages (per bucket, flat)
+        check_gather = np.full(c2v_size, V, dtype=np.int64)  # slot0 of fake var
+        check_gather[e_flat] = e_t * (V + 1) + e_v
+        # var-centric gather of check-centric (bucketed flat) messages
+        var_gather = np.full((dv, V + 1), c2v_size, dtype=np.int64)
+        var_gather[e_t, e_v] = e_flat
+        # column index per check slot (for syndrome checks), bucketed
+        row2col = np.full(c2v_size, V, dtype=np.int64)
+        row2col[e_flat] = self.col_idx
 
         # info-only row slots for the staircase encoder
         info_mask = self.col_idx < self.info_bits
@@ -328,6 +403,11 @@ class LdpcStructure:
             dc=dc, dv=dv, dci=dci,
             check_gather=check_gather, var_gather=var_gather,
             row2col=row2col, row_info=row_info, H=H,
+            buckets=[
+                dict(offset=int(offsets[bi]), P=int(sizes[bi]), dc=int(b["dc"]))
+                for bi, b in enumerate(buckets)
+            ],
+            c2v_size=int(c2v_size),
         )
 
 
@@ -368,10 +448,18 @@ class LDPCCodec:
 
         lay = s.decoder_layout()
         self.dc, self.dv, self.dci = lay["dc"], lay["dv"], lay["dci"]
+        self.buckets = lay["buckets"]
+        self.c2v_size = lay["c2v_size"]
         i32 = jnp.int32
-        self.check_gather = jnp.asarray(lay["check_gather"].reshape(-1), i32)
-        self.var_gather = jnp.asarray(lay["var_gather"].reshape(-1), i32)
-        self.row2col = jnp.asarray(lay["row2col"].reshape(-1), i32)
+        # Sentinel-padded gather maps are split into (clipped index, pad
+        # mask) pairs so the kernels never concatenate a pad row onto the
+        # message tensors — that concat copies the whole tensor each
+        # iteration and dominated BP wall-clock before this split.
+        self.check_gather_idx = jnp.asarray(lay["check_gather"], i32)
+        vg = lay["var_gather"].reshape(-1)
+        self.var_gather_idx = jnp.asarray(np.minimum(vg, self.c2v_size - 1), i32)
+        self.var_gather_pad = jnp.asarray((vg == self.c2v_size)[:, None])
+        self.row2col_idx = jnp.asarray(lay["row2col"], i32)
         self.row_info = jnp.asarray(lay["row_info"], i32)
         self.H_dense = (
             jnp.asarray(lay["H"], jnp.bfloat16) if lay["H"] is not None else None
@@ -462,89 +550,124 @@ class LDPCCodec:
         return out[0] if squeeze else out
 
     # ------------------------------------------------------ BP internals
+    #
+    # In-loop tensors carry one trailing FAKE variable (row V) whose
+    # channel/total/v2c stay at +LLR_MAX and whose bit stays 0; gather
+    # padding slots point at it, so the big check-centric tensors need
+    # no mask/select pass at all.
+
+    @staticmethod
+    def _take(src, idx):
+        """Axis-0 row gather.  (A [R, B/128, 128] slab view looks faster
+        in isolation but loses inside the fused BP loop — XLA inserts
+        layout copies around the 3D gather; keep the plain 2D form.)"""
+        return jnp.take(src, idx, axis=0)
+
+    def _syndrome_ok_p(self, bits_p8):
+        """bits int8 [V+1, B] (fake row = 0) -> [B] all-checks-satisfied
+        (ldpc.c:635-653): row gather + unrolled XOR over bucket planes."""
+        B = bits_p8.shape[1]
+        g = self._take(bits_p8, self.row2col_idx)
+        bad = None
+        for bk in self.buckets:
+            gb = g[bk["offset"] : bk["offset"] + bk["dc"] * bk["P"]].reshape(
+                bk["dc"], bk["P"], B
+            )
+            acc = gb[0]
+            for s in range(1, bk["dc"]):
+                acc = acc ^ gb[s]
+            any_b = jnp.any(acc, axis=0)
+            bad = any_b if bad is None else (bad | any_b)
+        return ~bad
 
     def _syndrome_ok_T(self, bits_T):
-        """bits [V, B] -> [B] all-checks-satisfied (ldpc.c:635-653)."""
+        """bits [V, B] -> [B] all-checks-satisfied."""
         B = bits_T.shape[1]
-        if self.H_dense is not None:
-            s = jnp.dot(
-                self.H_dense, bits_T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32) & 1
-            return ~jnp.any(s, axis=0)
-        padded = jnp.concatenate([bits_T, jnp.zeros((1, B), bits_T.dtype)], axis=0)
-        g = jnp.take(padded, self.row2col, axis=0)
-        g = g.reshape(self.dc, self.parity_bits, B)
-        return ~jnp.any(g.sum(axis=0) & 1, axis=0)
+        bits_p = jnp.concatenate(
+            [bits_T.astype(jnp.int8), jnp.zeros((1, B), jnp.int8)], axis=0
+        )
+        return self._syndrome_ok_p(bits_p)
 
     def _check_update(self, v2c):
         """Normalized two-minimum min-sum (ldpc.c:693-738).
 
-        v2c: [V*dv, B] int16 var-centric messages. Returns c2v [C*dc, B]
-        int16.  All storage/gather traffic is int16; the alpha = 15/16
+        v2c: [(V+1)*dv, B] int16 var-centric messages (fake var row =
+        +LLR_MAX).  Returns c2v [c2v_size, B] int16 in bucketed check
+        order.  All storage/gather traffic is int16; the alpha = 15/16
         scaling is (x*15)>>4 in int32 (exact C truncating division for
         the non-negative magnitudes).
         """
         B = v2c.shape[1]
-        P, dc = self.parity_bits, self.dc
-        pad = jnp.full((1, B), LLR_MAX, dtype=jnp.int16)
-        vflat = jnp.concatenate([v2c, pad], axis=0)
-        g = jnp.take(vflat, self.check_gather, axis=0).reshape(dc, P, B)
+        g = self._take(v2c, self.check_gather_idx)              # [c2v_size, B]
 
-        neg = g < 0
-        row_neg = (jnp.sum(neg, axis=0, dtype=jnp.int32) & 1).astype(jnp.int16)
-        absg = jnp.where(neg, jnp.negative(g), g)               # int16
-        min1 = jnp.min(absg, axis=0)                            # [P, B]
-        idx = jnp.argmin(absg, axis=0)                          # first min
-        slot = jnp.arange(dc, dtype=jnp.int32)[:, None, None]
-        is_min1 = slot == idx[None, :, :]
-        masked = jnp.where(is_min1, jnp.int16(LLR_MAX), absg)
-        min2 = jnp.min(masked, axis=0)
-        mag = jnp.where(is_min1, min2[None], min1[None])
-        mag = ((mag.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
-        row_sign = (1 - 2 * row_neg).astype(jnp.int16)          # [P, B]
-        sgn = jnp.where(neg, jnp.negative(row_sign)[None],
-                        row_sign[None])
-        return (sgn * mag).reshape(dc * P, B)
+        # Reduction formulation of the two-minimum rule, per degree
+        # bucket.  The reference emits "min2 at the first argmin, else
+        # min1"; that equals  where(absg == min1, min2eff, min1)  with
+        # min2eff = min1 when min1 occurs more than once (a duplicate
+        # of min1 keeps min1 in every other-slots set) and otherwise
+        # the masked strict second minimum.  No argmin pass, no
+        # first-occurrence bookkeeping.
+        outs = []
+        for bk in self.buckets:
+            dc, P = bk["dc"], bk["P"]
+            gb = g[bk["offset"] : bk["offset"] + dc * P].reshape(dc, P, B)
+            neg = gb < 0
+            absg = jnp.where(neg, jnp.negative(gb), gb)         # int16
+            min1 = jnp.min(absg, axis=0)                        # [P, B]
+            par = (jnp.sum(neg, axis=0, dtype=jnp.int32) & 1).astype(bool)
+            ismin = absg == min1[None]
+            many = jnp.sum(ismin, axis=0, dtype=jnp.int32) > 1
+            strict = jnp.min(
+                jnp.where(ismin, jnp.int16(LLR_MAX), absg), axis=0
+            )
+            min2eff = jnp.where(many, min1, strict)
+            a1 = ((min1.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
+            a2 = ((min2eff.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
+            mag = jnp.where(ismin, a2[None], a1[None])
+            out = jnp.where(par[None] ^ neg, jnp.negative(mag), mag)
+            outs.append(out.reshape(dc * P, B))
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     def _var_update(self, c2v_flat, channel):
-        """ldpc.c:740-766.  c2v_flat [C*dc, B] int16; channel [V, B] int16.
-        Returns (llr_total [V, B] int16, v2c [V*dv, B] int16).
-        Sums run in int32 (the reference accumulates in int32 and only
-        saturates the stored values, ldpc.c:753-764)."""
+        """ldpc.c:740-766.  c2v_flat [c2v_size, B] int16 (bucketed);
+        channel [V+1, B] int16.  Returns (llr_total [V+1, B] int16,
+        v2c [(V+1)*dv, B] int16).  Sums run in int32 (the reference
+        accumulates in int32 and only saturates the stored values,
+        ldpc.c:753-764)."""
         B = c2v_flat.shape[1]
-        V, dv = self.codeword_bits, self.dv
-        pad = jnp.zeros((1, B), dtype=jnp.int16)
-        cflat = jnp.concatenate([c2v_flat, pad], axis=0)
-        h = jnp.take(cflat, self.var_gather, axis=0).reshape(dv, V, B)
-        total = channel.astype(jnp.int32) + h.sum(axis=0, dtype=jnp.int32)
+        Vp, dv = self.codeword_bits + 1, self.dv
+        h = self._take(c2v_flat, self.var_gather_idx)
+        h = jnp.where(self.var_gather_pad, jnp.int16(0), h).reshape(dv, Vp, B)
+        total = channel.astype(jnp.int32)
+        for s in range(dv):
+            total = total + h[s]
         llr_total = jnp.clip(total, LLR_MIN, LLR_MAX).astype(jnp.int16)
         v2c = jnp.clip(total[None] - h, LLR_MIN, LLR_MAX).astype(jnp.int16)
-        return llr_total, v2c.reshape(dv * V, B)
+        return llr_total, v2c.reshape(dv * Vp, B)
 
-    def _bp_loop(self, llr_init, channel_soft, bits_init, conv0, max_iterations):
-        """Shared BP driver (transposed layout).
+    def _bp_loop(self, llr_init_p, channel_soft_p, bits_init_p, conv0, max_iterations):
+        """Shared BP driver (transposed layout, V+1 fake-var rows).
 
-        llr_init [V, B] int32: initial llr_total.
-        channel_soft: None (hard: channel = previous llr_total,
-        ldpc.c:746-751) or [V, B] int32 (soft: constant channel).
-        bits_init [V, B]: output bits for pre-converged elements.
+        llr_init_p [V+1, B] int16: initial llr_total (fake row > 0).
+        channel_soft_p: None (hard: channel = previous llr_total,
+        ldpc.c:746-751) or [V+1, B] int16 (soft: constant channel).
+        bits_init_p [V+1, B] int8: output bits for pre-converged elements.
         conv0 [B] bool: pre-converged mask (hard path early exit).
         """
-        V, B = llr_init.shape
+        Vp, B = llr_init_p.shape
         dv = self.dv
-        llr_init = llr_init.astype(jnp.int16)
-        v2c0 = jnp.broadcast_to(llr_init[None], (dv, V, B)).reshape(dv * V, B)
+        llr_init_p = llr_init_p.astype(jnp.int16)
+        v2c0 = jnp.broadcast_to(llr_init_p[None], (dv, Vp, B)).reshape(dv * Vp, B)
 
         state = dict(
             v2c=v2c0,
-            llr=llr_init,
-            out_bits=bits_init,
-            last_bits=bits_init,
+            llr=llr_init_p,
+            out_bits=bits_init_p,
+            last_bits=bits_init_p,
             converged=conv0,
             # derived from a varying input so the carry type is stable
             # under shard_map manual axes
-            iters=llr_init[0, :].astype(jnp.int32) * 0,
+            iters=llr_init_p[0, :].astype(jnp.int32) * 0,
             it=jnp.int32(0),
         )
 
@@ -553,10 +676,10 @@ class LDPCCodec:
 
         def body(st):
             c2v = self._check_update(st["v2c"])
-            channel = st["llr"] if channel_soft is None else channel_soft
+            channel = st["llr"] if channel_soft_p is None else channel_soft_p
             llr, v2c = self._var_update(c2v, channel)
-            bits = (llr < 0).astype(jnp.int32)
-            sat = self._syndrome_ok_T(bits)
+            bits = (llr < 0).astype(jnp.int8)
+            sat = self._syndrome_ok_p(bits)
             newly = sat & ~st["converged"]
             it1 = st["it"] + 1
             return dict(
@@ -581,11 +704,19 @@ class LDPCCodec:
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_hard(self, codeword_bytes, max_iterations):
         bits_in = self._unpack_cw_T(codeword_bytes)
-        work = self.deinterleave_bits_T(bits_in)
-        conv0 = self._syndrome_ok_T(work)
-        llr0 = jnp.where(work == 1, -LLR_INFINITY, LLR_INFINITY).astype(jnp.int32)
-        ok, out, iters = self._bp_loop(llr0, None, work, conv0, max_iterations)
-        return ok, self._pack_cw_T(out), iters
+        work = self.deinterleave_bits_T(bits_in)               # [V, B] int32
+        B = work.shape[1]
+        work_p = jnp.concatenate([work, jnp.zeros((1, B), work.dtype)], axis=0)
+        bits_p8 = work_p.astype(jnp.int8)
+        conv0 = self._syndrome_ok_p(bits_p8)
+        llr0 = jnp.where(work == 1, -LLR_INFINITY, LLR_INFINITY).astype(jnp.int16)
+        # fake row must sit at exactly LLR_MAX: it pads min-reductions
+        # in the check update, where any real |v2c| can reach LLR_MAX
+        llr0_p = jnp.concatenate(
+            [llr0, jnp.full((1, B), LLR_MAX, jnp.int16)], axis=0
+        )
+        ok, out, iters = self._bp_loop(llr0_p, None, bits_p8, conv0, max_iterations)
+        return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_soft(self, llr8, max_iterations):
@@ -601,12 +732,17 @@ class LDPCCodec:
                 jnp.take(work, jnp.clip(g, 0, None), axis=0),
                 0,
             )
-        channel = (work * LLR_SCALE).astype(jnp.int16)  # |llr*256| <= 32512
-        llr0 = jnp.clip(work * LLR_SCALE, LLR_MIN, LLR_MAX)
-        bits0 = work * 0
+        B = work.shape[1]
+        # fake var: 125 * LLR_SCALE == LLR_MAX exactly
+        work_p = jnp.concatenate(
+            [work, jnp.full((1, B), 125, work.dtype)], axis=0
+        )
+        channel = (work_p * LLR_SCALE).astype(jnp.int16)  # |llr*256| <= 32512
+        llr0 = jnp.clip(work_p * LLR_SCALE, LLR_MIN, LLR_MAX).astype(jnp.int16)
+        bits0 = jnp.zeros_like(work_p, dtype=jnp.int8)
         conv0 = (work[0, :] * 0).astype(bool)  # soft path has no pre-check
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
-        return ok, self._pack_cw_T(out), iters
+        return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     # ---------------------------------------------- adaptive two-phase
     #
