@@ -757,11 +757,40 @@ class LDPCCodec:
 
     STAGES = (2, 8)  # iteration budgets before the full-budget stage
 
+    # Chunked dispatch width: XLA's row-gather throughput on the BP
+    # message tensors degrades sharply once the [rows, B] operands leave
+    # the fast regime (measured ~2.7x: 390 vs 1044 ns/cw-iter at
+    # B=16384), and narrower batches also exit the while_loop as soon
+    # as *their own* worst element converges rather than the global
+    # batch's.  Chunks are dispatched back-to-back (async) so the
+    # device pipeline stays full.
+    DECODE_CHUNK = 1024
+
     def _bucket(self, n: int) -> int:
         b = 256
         while b < n:
             b *= 2
         return b
+
+    def _run_stage_chunked(self, decode_fn, inp, iters: int):
+        """Dispatch decode_fn over DECODE_CHUNK-sized slices (pipelined),
+        returning full-batch (ok, cw, iters) device arrays."""
+        B = inp.shape[0]
+        chunk = self.DECODE_CHUNK
+        if B <= chunk:
+            return decode_fn(inp, iters)
+        parts = []
+        for i in range(0, B, chunk):
+            p = inp[i : i + chunk]
+            if p.shape[0] < chunk:
+                # pad the tail chunk (wrapping) so every dispatch shares
+                # one compiled shape; padded rows are dropped below
+                p = jnp.concatenate([p, inp[: chunk - p.shape[0]]], axis=0)
+            parts.append(decode_fn(p, iters))
+        ok = jnp.concatenate([p[0] for p in parts], axis=0)[:B]
+        cw = jnp.concatenate([p[1] for p in parts], axis=0)[:B]
+        it = jnp.concatenate([p[2] for p in parts], axis=0)[:B]
+        return ok, cw, it
 
     @functools.partial(jax.jit, static_argnums=0)
     def _merge_subset(self, ok1, cw1, it1, ok2, cw2, it2, wsel):
@@ -795,7 +824,7 @@ class LDPCCodec:
         inputs = jnp.asarray(inputs)  # device-resident throughout
 
         def run(inp, stages):
-            ok, cw, iters = decode_fn(inp, stages[0])
+            ok, cw, iters = self._run_stage_chunked(decode_fn, inp, stages[0])
             if len(stages) == 1:
                 return ok, cw, iters
             ok_h = np.asarray(ok)  # only the [B] mask crosses to the host

@@ -227,6 +227,32 @@ class TestAdaptive:
         np.testing.assert_array_equal(out1, out2)
         np.testing.assert_array_equal(it1, it2)
 
+    def test_adaptive_chunked_matches_plain(self):
+        """Batch larger than DECODE_CHUNK (with a ragged tail) goes
+        through the pipelined chunk dispatch — results must stay
+        bit-identical to one plain full-budget decode."""
+        c = codec(block=64)
+        old = type(c).DECODE_CHUNK
+        type(c).DECODE_CHUNK = 16
+        try:
+            rng = np.random.default_rng(79)
+            B = 53  # 3 full chunks + ragged tail of 5
+            info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+            parity = np.asarray(c.encode(info))
+            cw = np.concatenate([info, parity], axis=1)
+            bad = cw.copy()
+            for b in range(B):
+                nf = [0, 1, 3, 40][b % 4]
+                for p in rng.choice(c.codeword_bits, nf, replace=False):
+                    bad[b, p // 8] ^= 1 << (7 - (p % 8))
+            ok1, out1, it1 = map(np.asarray, c.decode_hard(bad))
+            ok2, out2, it2 = map(np.asarray, c.decode_hard_adaptive(bad))
+            np.testing.assert_array_equal(ok1, ok2)
+            np.testing.assert_array_equal(out1, out2)
+            np.testing.assert_array_equal(it1, it2)
+        finally:
+            type(c).DECODE_CHUNK = old
+
     def test_adaptive_soft_matches_plain(self):
         from libpoporon_tpu.utils import bits as bitutils
         c = codec(block=64)
