@@ -565,8 +565,27 @@ class LDPCCodec:
 
     def _syndrome_ok_p(self, bits_p8):
         """bits int8 [V+1, B] (fake row = 0) -> [B] all-checks-satisfied
-        (ldpc.c:635-653): row gather + unrolled XOR over bucket planes."""
+        (ldpc.c:635-653).
+
+        Small codes: one MXU matmul (H_dense @ bits, exact integer sums
+        in f32) instead of a [c2v_size, B] row gather — the gather was
+        a third of the BP loop's gather rows.  Edge multiplicity is
+        already folded into H_dense mod 2.  Large codes: row gather +
+        unrolled XOR over bucket planes."""
         B = bits_p8.shape[1]
+        if self.H_dense is not None:
+            # Info-column counts on the MXU (half the contraction dim);
+            # the staircase parity columns contribute p[r-1] ^ p[r] —
+            # a shift + add folded into the same mod-2 reduction.
+            I = self.info_bits
+            cnt = jnp.dot(
+                self.H_dense[:, :I], bits_p8[:I].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                        # [P, B] info sums
+            p = bits_p8[I : self.codeword_bits].astype(jnp.int32)
+            p_prev = jnp.concatenate([jnp.zeros((1, B), jnp.int32), p[:-1]], 0)
+            s = (cnt + p + p_prev) & 1                 # [P, B] syndrome bits
+            return ~jnp.any(s, axis=0)
         g = self._take(bits_p8, self.row2col_idx)
         bad = None
         for bk in self.buckets:
@@ -600,30 +619,33 @@ class LDPCCodec:
         B = v2c.shape[1]
         g = self._take(v2c, self.check_gather_idx)              # [c2v_size, B]
 
-        # Reduction formulation of the two-minimum rule, per degree
-        # bucket.  The reference emits "min2 at the first argmin, else
-        # min1"; that equals  where(absg == min1, min2eff, min1)  with
-        # min2eff = min1 when min1 occurs more than once (a duplicate
-        # of min1 keeps min1 in every other-slots set) and otherwise
-        # the masked strict second minimum.  No argmin pass, no
-        # first-occurrence bookkeeping.
+        # Two-minimum rule per degree bucket, as a single tournament
+        # fold over the slot planes:  m2' = min(m2, max(m1, |v|)),
+        # m1' = min(m1, |v|).  A duplicate of m1 drives m2 to m1, which
+        # is exactly the reference's tie semantics ("min2 at the argmin
+        # else min1" with min2 = min1 when min1 repeats) — verified
+        # equivalent to the masked-strict-second-min formulation on all
+        # row degrees.  One read of the gathered plane for the fold, one
+        # for the output pass; no argmin/tie-count bookkeeping passes.
         outs = []
         for bk in self.buckets:
             dc, P = bk["dc"], bk["P"]
             gb = g[bk["offset"] : bk["offset"] + dc * P].reshape(dc, P, B)
+            neg0 = gb[0] < 0
+            m1 = jnp.where(neg0, jnp.negative(gb[0]), gb[0])    # int16
+            m2 = jnp.full_like(m1, jnp.int16(LLR_MAX))
+            par = neg0
+            for s in range(1, dc):
+                neg = gb[s] < 0
+                a = jnp.where(neg, jnp.negative(gb[s]), gb[s])
+                m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+                m1 = jnp.minimum(m1, a)
+                par = par ^ neg
+            a1 = ((m1.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
+            a2 = ((m2.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
             neg = gb < 0
-            absg = jnp.where(neg, jnp.negative(gb), gb)         # int16
-            min1 = jnp.min(absg, axis=0)                        # [P, B]
-            par = (jnp.sum(neg, axis=0, dtype=jnp.int32) & 1).astype(bool)
-            ismin = absg == min1[None]
-            many = jnp.sum(ismin, axis=0, dtype=jnp.int32) > 1
-            strict = jnp.min(
-                jnp.where(ismin, jnp.int16(LLR_MAX), absg), axis=0
-            )
-            min2eff = jnp.where(many, min1, strict)
-            a1 = ((min1.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
-            a2 = ((min2eff.astype(jnp.int32) * 15) >> 4).astype(jnp.int16)
-            mag = jnp.where(ismin, a2[None], a1[None])
+            absg = jnp.where(neg, jnp.negative(gb), gb)
+            mag = jnp.where(absg == m1[None], a2[None], a1[None])
             out = jnp.where(par[None] ^ neg, jnp.negative(mag), mag)
             outs.append(out.reshape(dc * P, B))
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
@@ -703,6 +725,9 @@ class LDPCCodec:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_hard(self, codeword_bytes, max_iterations):
+        return self._decode_hard_body(codeword_bytes, max_iterations)
+
+    def _decode_hard_body(self, codeword_bytes, max_iterations):
         bits_in = self._unpack_cw_T(codeword_bytes)
         work = self.deinterleave_bits_T(bits_in)               # [V, B] int32
         B = work.shape[1]
@@ -720,6 +745,9 @@ class LDPCCodec:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_soft(self, llr8, max_iterations):
+        return self._decode_soft_body(llr8, max_iterations)
+
+    def _decode_soft_body(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
         work = llr8.astype(jnp.int32).T                        # [V, B]
         if self.inner_inv is not None:
@@ -744,123 +772,105 @@ class LDPCCodec:
         ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
-    # ---------------------------------------------- adaptive two-phase
+    # ------------------------------------------- adaptive fused decode
     #
     # BP trajectories are per-element deterministic and independent of
     # the rest of the batch, so a batch decode can run a short first
-    # phase (where most codewords converge and the while_loop exits
-    # early) and re-decode only the compacted stragglers with the full
-    # iteration budget.  Results (outputs AND iterations_used) are
-    # bit-identical to a single full-budget call; wall-clock drops by
-    # the straggler fraction.  Phase-2 batches are padded to power-of-2
-    # buckets to bound recompilation.
+    # stage (where most codewords converge) and re-decode only the
+    # compacted stragglers with the full iteration budget.  Results
+    # (outputs AND iterations_used) are bit-identical to a single
+    # full-budget call.
+    #
+    # The whole cascade is ONE jitted device program: host round trips
+    # through the runtime cost ~20ms each (device->host sync latency),
+    # so straggler compaction runs on-device (lax.top_k over the
+    # not-converged mask), the full-budget re-decode covers a static
+    # STRAGGLER_SLOTS-wide slice per pass, and an outer lax.while_loop
+    # repeats until every element is finalized (converged or decoded at
+    # full budget) — no data-dependent host decisions anywhere.
 
-    STAGES = (2, 8)  # iteration budgets before the full-budget stage
+    # First-stage iteration budget: most error patterns at realistic
+    # channel qualities converge in 1-3 BP iterations.
+    STAGE1_ITERS = 3
+    # Straggler slots per full-budget pass.  Small keeps the expensive
+    # max_iterations decode cheap; the outer loop handles overflow.
+    STRAGGLER_SLOTS = 256
 
-    # Chunked dispatch width: XLA's row-gather throughput on the BP
-    # message tensors degrades sharply once the [rows, B] operands leave
-    # the fast regime (measured ~2.7x: 390 vs 1044 ns/cw-iter at
-    # B=16384), and narrower batches also exit the while_loop as soon
-    # as *their own* worst element converges rather than the global
-    # batch's.  Chunks are dispatched back-to-back (async) so the
-    # device pipeline stays full.
+    # Chunk width for the first stage: XLA's row-gather throughput on
+    # the BP message tensors degrades sharply once the [rows, B]
+    # operands leave the fast regime (measured ~2.7x: 390 vs 1044
+    # ns/cw-iter at B=16384), and narrow chunks also exit the BP
+    # while_loop as soon as *their own* worst element converges rather
+    # than the global batch's.  Chunks run as a lax.scan inside the
+    # fused program.
     DECODE_CHUNK = 1024
 
-    def _bucket(self, n: int) -> int:
-        b = 256
-        while b < n:
-            b *= 2
-        return b
-
-    def _run_stage_chunked(self, decode_fn, inp, iters: int):
-        """Dispatch decode_fn over DECODE_CHUNK-sized slices (pipelined),
-        returning full-batch (ok, cw, iters) device arrays."""
-        B = inp.shape[0]
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+    def _decode_adaptive_fused(self, kind, inputs, s1, mx, nb):
+        body = self._decode_hard_body if kind == "hard" else self._decode_soft_body
+        B = inputs.shape[0]
         chunk = self.DECODE_CHUNK
-        if B <= chunk:
-            return decode_fn(inp, iters)
-        parts = []
-        for i in range(0, B, chunk):
-            p = inp[i : i + chunk]
-            if p.shape[0] < chunk:
-                # pad the tail chunk (wrapping) so every dispatch shares
-                # one compiled shape; padded rows are dropped below
-                p = jnp.concatenate([p, inp[: chunk - p.shape[0]]], axis=0)
-            parts.append(decode_fn(p, iters))
-        ok = jnp.concatenate([p[0] for p in parts], axis=0)[:B]
-        cw = jnp.concatenate([p[1] for p in parts], axis=0)[:B]
-        it = jnp.concatenate([p[2] for p in parts], axis=0)[:B]
-        return ok, cw, it
+        if B > chunk:
+            nc = B // chunk  # caller pads B to a multiple of chunk
+            chunks = inputs.reshape(nc, chunk, *inputs.shape[1:])
+            def sbody(_, ch):
+                return 0, body(ch, s1)
+            _, (ok, cw, it) = jax.lax.scan(sbody, 0, chunks)
+            ok, cw, it = ok.reshape(-1), cw.reshape(B, -1), it.reshape(-1)
+        else:
+            ok, cw, it = body(inputs, s1)
+        if s1 >= mx:
+            return ok, cw, it
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _merge_subset(self, ok1, cw1, it1, ok2, cw2, it2, wsel):
-        """Place subset results (rows `wsel`, sentinel = B drops) into the
-        full-batch results.  One-hot matmul placement — TPU scatters are
-        sort-based and slow, bulk host transfers are slower still."""
-        B = ok1.shape[0]
-        oh = (wsel[None, :] == jnp.arange(B, dtype=jnp.int32)[:, None]).astype(
-            jnp.bfloat16
-        )                                                   # [B, nb]
-        replaced = oh.sum(axis=1).astype(jnp.int32) > 0     # [B]
-        cw_p = jnp.dot(oh, cw2.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32).astype(jnp.uint8)
-        ohf = oh.astype(jnp.float32)
-        ok_p = jnp.dot(ohf, ok2.astype(jnp.float32)[:, None],
-                       preferred_element_type=jnp.float32)[:, 0] > 0
-        it_p = jnp.dot(ohf, it2.astype(jnp.float32)[:, None],
-                       preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
-        return (
-            jnp.where(replaced, ok_p, ok1),
-            jnp.where(replaced[:, None], cw_p, cw1),
-            jnp.where(replaced, it_p, it1),
-        )
+        def cond(st):
+            return ~jnp.all(st[3])
 
-    def _decode_adaptive(self, decode_fn, inputs, max_iterations: int):
-        """Cascaded decode: cheap iteration budgets on the full batch,
-        stragglers compacted (device-side) and re-decoded with bigger
-        budgets.  Per-element BP trajectories are deterministic and
-        batch-independent, so results are bit-identical to one
-        full-budget call."""
-        inputs = jnp.asarray(inputs)  # device-resident throughout
-
-        def run(inp, stages):
-            ok, cw, iters = self._run_stage_chunked(decode_fn, inp, stages[0])
-            if len(stages) == 1:
-                return ok, cw, iters
-            ok_h = np.asarray(ok)  # only the [B] mask crosses to the host
-            if ok_h.all():
-                return ok, cw, iters
-            idx = np.flatnonzero(~ok_h)
-            k = len(idx)
-            nb = self._bucket(k)
-            B = inp.shape[0]
-            sel = np.resize(idx, nb)
-            sub = jnp.take(inp, jnp.asarray(sel), axis=0)  # device row gather
-            ok2, cw2, it2 = run(sub, stages[1:])
-            wsel = jnp.asarray(
-                np.where(np.arange(nb) < k, sel, B).astype(np.int32)
+        def wbody(st):
+            ok, cw, it, done = st
+            vals, sel = jax.lax.top_k((~done).astype(jnp.int32), nb)
+            sub = jnp.take(inputs, sel, axis=0)
+            ok2, cw2, it2 = body(sub, mx)
+            # slots past the straggler count hold converged rows decoded
+            # redundantly — sentinel index B drops their writes
+            wsel = jnp.where(vals > 0, sel, B).astype(jnp.int32)
+            return (
+                ok.at[wsel].set(ok2, mode="drop"),
+                cw.at[wsel].set(cw2, mode="drop"),
+                it.at[wsel].set(it2, mode="drop"),
+                done.at[wsel].set(True, mode="drop"),
             )
-            return self._merge_subset(ok, cw, iters, ok2, cw2, it2, wsel)
 
-        stages = [s for s in self.STAGES if s < max_iterations]
-        stages.append(max_iterations)
-        return run(inputs, stages)
+        st = jax.lax.while_loop(cond, wbody, (ok, cw, it, ok))
+        return st[0], st[1], st[2]
+
+    def _decode_adaptive(self, kind, inputs, max_iterations: int):
+        """Adaptive decode driver: pad the batch to a chunk multiple,
+        run the fused device cascade, slice the padding back off."""
+        inputs = jnp.asarray(inputs)  # device-resident throughout
+        B = inputs.shape[0]
+        chunk = self.DECODE_CHUNK
+        Bp = B
+        if B > chunk and B % chunk != 0:
+            Bp = ((B + chunk - 1) // chunk) * chunk
+            inputs = jnp.concatenate([inputs, inputs[: Bp - B]], axis=0)
+        s1 = min(self.STAGE1_ITERS, max_iterations)
+        nb = min(self.STRAGGLER_SLOTS, Bp)
+        ok, cw, it = self._decode_adaptive_fused(
+            kind, inputs, s1, max_iterations, nb
+        )
+        return ok[:B], cw[:B], it[:B]
 
     def decode_hard_adaptive(self, codeword, max_iterations: int = 0):
         """decode_hard with cascaded straggler compaction (bit-identical
         results).  Accepts host or device arrays; stays device-resident."""
         codeword = jnp.asarray(codeword, dtype=jnp.uint8)
         mi = max_iterations or self.max_iterations
-        return self._decode_adaptive(
-            lambda cw, m: self._decode_hard(cw, m), codeword, mi
-        )
+        return self._decode_adaptive("hard", codeword, mi)
 
     def decode_soft_adaptive(self, llr, max_iterations: int = 0):
         llr = jnp.asarray(llr, dtype=jnp.int8)
         mi = max_iterations or self.max_iterations
-        return self._decode_adaptive(
-            lambda l, m: self._decode_soft(l, m), llr, mi
-        )
+        return self._decode_adaptive("soft", llr, mi)
 
     def decode_hard(self, codeword, max_iterations: int = 0):
         """codeword uint8 [B, codeword_bytes] -> (ok, codeword_out, iters).
