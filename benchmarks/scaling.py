@@ -14,8 +14,11 @@ first); without a pod it can be exercised on a virtual CPU mesh:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

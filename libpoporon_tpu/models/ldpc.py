@@ -486,6 +486,20 @@ class LDPCCodec:
             jnp.asarray(s.outer_inverse, i32) if s.outer_inverse is not None else None
         )
 
+        # Chunk width scaled so per-chunk message bytes stay ~constant
+        # across code sizes (1024 tuned on the 128B rate-1/2 code whose
+        # gather layouts total ~12.3k rows).
+        # Measured: 1024 is optimal for the 128B code; big-block codes
+        # are gather-engine-bound and flat in chunk width (57 Mbit/s at
+        # 16..128 for 8192B r=1/3), so clamp to [128, 1024] to bound
+        # per-chunk memory without starving the 128 lanes.
+        rows_total = self.dv * (self.codeword_bits + 1) + self.c2v_size
+        chunk = 1024 * 12323 // max(rows_total, 1)
+        p2 = 128
+        while p2 * 2 <= chunk:
+            p2 *= 2
+        self.DECODE_CHUNK = min(p2, 1024)
+
     # ------------------------------------------------------- bit plumbing
     #
     # All device-side tensors are TRANSPOSED: bits/LLRs live as [V, B]
@@ -813,13 +827,15 @@ class LDPCCodec:
     # max_iterations decode cheap; the outer loop handles overflow.
     STRAGGLER_SLOTS = 256
 
-    # Chunk width for the first stage: XLA's row-gather throughput on
-    # the BP message tensors degrades sharply once the [rows, B]
-    # operands leave the fast regime (measured ~2.7x: 390 vs 1044
-    # ns/cw-iter at B=16384), and narrow chunks also exit the BP
-    # while_loop as soon as *their own* worst element converges rather
-    # than the global batch's.  Chunks run as a lax.scan inside the
-    # fused program.
+    # Chunk width: XLA's row-gather throughput on the BP message
+    # tensors degrades sharply once the [rows, B] operands leave the
+    # fast regime (measured ~2.7x: 390 vs 1044 ns/cw-iter at B=16384),
+    # and narrow chunks also exit the BP while_loop as soon as *their
+    # own* worst element converges rather than the global batch's.
+    # Chunks run as a lax.scan inside the fused program.  The width is
+    # set per codec in __init__ (scaled so the per-chunk message
+    # footprint stays roughly constant across block sizes; 1024 was
+    # tuned on the 128-byte rate-1/2 code).
     DECODE_CHUNK = 1024
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))

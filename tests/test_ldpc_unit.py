@@ -232,8 +232,8 @@ class TestAdaptive:
         through the pipelined chunk dispatch — results must stay
         bit-identical to one plain full-budget decode."""
         c = codec(block=64)
-        old = type(c).DECODE_CHUNK
-        type(c).DECODE_CHUNK = 16
+        old = c.DECODE_CHUNK
+        c.DECODE_CHUNK = 16
         try:
             rng = np.random.default_rng(79)
             B = 53  # 3 full chunks + ragged tail of 5
@@ -251,7 +251,7 @@ class TestAdaptive:
             np.testing.assert_array_equal(out1, out2)
             np.testing.assert_array_equal(it1, it2)
         finally:
-            type(c).DECODE_CHUNK = old
+            c.DECODE_CHUNK = old
 
     def test_adaptive_soft_matches_plain(self):
         from libpoporon_tpu.utils import bits as bitutils
