@@ -21,8 +21,13 @@ import time
 
 import numpy as np
 
-BATCH = 16384
-LDPC_BATCH = 16384
+# Batch sizes: the per-iteration fixed costs (BM's 32 serial steps,
+# BP's while_loop bookkeeping) are latency-bound on this runtime, so
+# throughput keeps rising with batch (RS: 1.47M cw/s at 16k -> 2.30M
+# at 131k).  131072 codewords of RS(255,223) is ~33MB of input — small
+# for HBM, and the scale BASELINE config #4 asks for (100k).
+BATCH = 131072
+LDPC_BATCH = 131072
 
 
 def log(obj):
@@ -110,9 +115,9 @@ def main():
     parity = np.asarray(rs.encode(data))
     corrupt = data.copy()
     pos = rng.integers(0, 223, (BATCH, 2))
-    for b in range(BATCH):
-        corrupt[b, pos[b, 0]] ^= 0x55
-        corrupt[b, pos[b, 1] % 223] ^= 0xAA
+    rows = np.arange(BATCH)
+    corrupt[rows, pos[:, 0]] ^= 0x55
+    corrupt[rows, pos[:, 1] % 223] ^= 0xAA
 
     dj = jax.device_put(corrupt)
     pj = jax.device_put(parity)
@@ -153,9 +158,13 @@ def main():
     info = rng.integers(0, 256, (LDPC_BATCH, lc.info_bytes), dtype=np.uint8)
     lp = np.asarray(lc.encode(info))
     cw = np.concatenate([info, lp], axis=1)
-    for b in range(LDPC_BATCH):
-        for p in rng.choice(lc.codeword_bits, 4, replace=False):
-            cw[b, p // 8] ^= 1 << (7 - (p % 8))
+    # 4 distinct random bit flips per codeword (vectorized)
+    fl = np.argsort(rng.random((LDPC_BATCH, lc.codeword_bits)), axis=1)[:, :4]
+    rows4 = np.repeat(np.arange(LDPC_BATCH), 4)
+    np.bitwise_xor.at(
+        cw, (rows4, fl.reshape(-1) // 8),
+        (1 << (7 - (fl.reshape(-1) % 8))).astype(np.uint8),
+    )
     cwj = jax.device_put(cw)
     dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=1, iters=3)
     log({"bench": "ldpc_r12_128B_hard_4err_fixed", "codewords_per_s": LDPC_BATCH / dt,
