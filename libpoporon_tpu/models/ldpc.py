@@ -737,13 +737,15 @@ class LDPCCodec:
 
     # ------------------------------------------------------------ decode
 
-    def _chunked_scan(self, body, inp, max_iterations):
-        """Run a decode body over DECODE_CHUNK-wide slices via lax.scan
-        (inside the caller's jit).  Chunk-width tensors keep the BP
-        gathers in the fast regime and let each chunk's while_loop exit
-        on its own worst element.  Non-multiple batches run unchunked."""
+    def _chunked_scan(self, body, inp, max_iterations, chunk):
+        """Run a decode body over chunk-wide slices via lax.scan (inside
+        the caller's jit).  Chunk-width tensors keep the BP gathers in
+        the fast regime and let each chunk's while_loop exit on its own
+        worst element.  Non-multiple batches run unchunked.  `chunk` is
+        threaded as an explicit static argument everywhere (reading it
+        off `self` at trace time would let a mutated DECODE_CHUNK hit a
+        stale jit cache entry)."""
         B = inp.shape[0]
-        chunk = self.DECODE_CHUNK
         if B <= chunk or B % chunk != 0:
             return body(inp, max_iterations)
         chunks = inp.reshape(B // chunk, chunk, *inp.shape[1:])
@@ -752,10 +754,15 @@ class LDPCCodec:
         _, (ok, cw, it) = jax.lax.scan(sbody, 0, chunks)
         return ok.reshape(-1), cw.reshape(B, -1), it.reshape(-1)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_hard(self, codeword_bytes, max_iterations):
+        return self._decode_hard_jit(
+            codeword_bytes, max_iterations, self.DECODE_CHUNK
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _decode_hard_jit(self, codeword_bytes, max_iterations, chunk):
         return self._chunked_scan(
-            self._decode_hard_body, codeword_bytes, max_iterations
+            self._decode_hard_body, codeword_bytes, max_iterations, chunk
         )
 
     def _decode_hard_body(self, codeword_bytes, max_iterations):
@@ -774,9 +781,14 @@ class LDPCCodec:
         ok, out, iters = self._bp_loop(llr0_p, None, bits_p8, conv0, max_iterations)
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def _decode_soft(self, llr8, max_iterations):
-        return self._chunked_scan(self._decode_soft_body, llr8, max_iterations)
+        return self._decode_soft_jit(llr8, max_iterations, self.DECODE_CHUNK)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _decode_soft_jit(self, llr8, max_iterations, chunk):
+        return self._chunked_scan(
+            self._decode_soft_body, llr8, max_iterations, chunk
+        )
 
     def _decode_soft_body(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
@@ -838,11 +850,11 @@ class LDPCCodec:
     # tuned on the 128-byte rate-1/2 code).
     DECODE_CHUNK = 1024
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
-    def _decode_adaptive_fused(self, kind, inputs, s1, mx, nb):
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
+    def _decode_adaptive_fused(self, kind, inputs, s1, mx, nb, chunk):
         body = self._decode_hard_body if kind == "hard" else self._decode_soft_body
         B = inputs.shape[0]
-        ok, cw, it = self._chunked_scan(body, inputs, s1)
+        ok, cw, it = self._chunked_scan(body, inputs, s1, chunk)
         if s1 >= mx:
             return ok, cw, it
 
@@ -880,7 +892,7 @@ class LDPCCodec:
         s1 = min(self.STAGE1_ITERS, max_iterations)
         nb = min(self.STRAGGLER_SLOTS, Bp)
         ok, cw, it = self._decode_adaptive_fused(
-            kind, inputs, s1, max_iterations, nb
+            kind, inputs, s1, max_iterations, nb, chunk
         )
         return ok[:B], cw[:B], it[:B]
 
