@@ -9,6 +9,13 @@ codewords/s on one chip.  vs_baseline is the speedup over the reference
 C library (compiled from /root/reference, scalar path) measured on this
 host — the reference publishes no numbers of its own (BASELINE.md).
 
+Methodology note (applies to every vs-reference ratio printed here and
+to the Speedup column in BASELINE.md): the TPU figures are steady-state
+PIPELINED throughput at large batch (dispatch all iterations, block
+once — the production streaming pattern), while the reference-C figures
+are synchronous single-core per-call timing, since the C library
+processes one codeword per call and has no pipeline to fill.
+
 Secondary metrics (LDPC BP Mbit/s, RS encode, BCH, erasure decode) are
 printed to stderr as JSON lines prefixed with '#'.
 """

@@ -21,8 +21,9 @@ TPU execution:
   heavily skewed, so per-bucket padding cuts gather and VPU traffic
   >2x vs one max-degree plane), and no scatters are needed anywhere —
   each layout is the gather-inverse of the other.  The two-minimum
-  rule is computed by plain reductions (min, tie count, masked strict
-  second min) rather than argmin bookkeeping.
+  rule is a single tournament fold over the slot planes
+  (m1' = min(m1, |v|), m2' = min(m2, max(m1, |v|)) — see
+  _check_update) rather than argmin/tie-count bookkeeping.
 
 * Early termination is per-batch-element: a converged mask freezes each
   element's output at its first syndrome-clean iteration (matching the
@@ -741,10 +742,11 @@ class LDPCCodec:
         """Run a decode body over chunk-wide slices via lax.scan (inside
         the caller's jit).  Chunk-width tensors keep the BP gathers in
         the fast regime and let each chunk's while_loop exit on its own
-        worst element.  Non-multiple batches run unchunked.  `chunk` is
-        threaded as an explicit static argument everywhere (reading it
-        off `self` at trace time would let a mutated DECODE_CHUNK hit a
-        stale jit cache entry)."""
+        worst element.  Callers pad ragged batches to a chunk multiple
+        (_pad_to_chunk) before entering here.  `chunk` is threaded as
+        an explicit static argument everywhere (reading it off `self`
+        at trace time would let a mutated DECODE_CHUNK hit a stale jit
+        cache entry)."""
         B = inp.shape[0]
         if B <= chunk or B % chunk != 0:
             return body(inp, max_iterations)
@@ -754,10 +756,26 @@ class LDPCCodec:
         _, (ok, cw, it) = jax.lax.scan(sbody, 0, chunks)
         return ok.reshape(-1), cw.reshape(B, -1), it.reshape(-1)
 
+    def _pad_to_chunk(self, inputs):
+        """Pad a ragged batch up to a DECODE_CHUNK multiple (by
+        repeating leading rows — decode is per-element independent) so
+        the plain paths keep the fast-gather chunking and per-chunk
+        early exit on every batch size.  Returns (padded, orig_B)."""
+        B = inputs.shape[0]
+        chunk = self.DECODE_CHUNK
+        if B <= chunk or B % chunk == 0:
+            return inputs, B
+        Bp = ((B + chunk - 1) // chunk) * chunk
+        reps = -(-(Bp - B) // B)  # padding may exceed B for tiny overhangs
+        pad = jnp.tile(inputs, (reps,) + (1,) * (inputs.ndim - 1))[: Bp - B]
+        return jnp.concatenate([inputs, pad], axis=0), B
+
     def _decode_hard(self, codeword_bytes, max_iterations):
-        return self._decode_hard_jit(
-            codeword_bytes, max_iterations, self.DECODE_CHUNK
+        padded, B = self._pad_to_chunk(jnp.asarray(codeword_bytes))
+        ok, cw, it = self._decode_hard_jit(
+            padded, max_iterations, self.DECODE_CHUNK
         )
+        return ok[:B], cw[:B], it[:B]
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))
     def _decode_hard_jit(self, codeword_bytes, max_iterations, chunk):
@@ -782,7 +800,9 @@ class LDPCCodec:
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     def _decode_soft(self, llr8, max_iterations):
-        return self._decode_soft_jit(llr8, max_iterations, self.DECODE_CHUNK)
+        padded, B = self._pad_to_chunk(jnp.asarray(llr8, dtype=jnp.int8))
+        ok, cw, it = self._decode_soft_jit(padded, max_iterations, self.DECODE_CHUNK)
+        return ok[:B], cw[:B], it[:B]
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))
     def _decode_soft_jit(self, llr8, max_iterations, chunk):
@@ -882,15 +902,10 @@ class LDPCCodec:
     def _decode_adaptive(self, kind, inputs, max_iterations: int):
         """Adaptive decode driver: pad the batch to a chunk multiple,
         run the fused device cascade, slice the padding back off."""
-        inputs = jnp.asarray(inputs)  # device-resident throughout
-        B = inputs.shape[0]
+        inputs, B = self._pad_to_chunk(jnp.asarray(inputs))
         chunk = self.DECODE_CHUNK
-        Bp = B
-        if B > chunk and B % chunk != 0:
-            Bp = ((B + chunk - 1) // chunk) * chunk
-            inputs = jnp.concatenate([inputs, inputs[: Bp - B]], axis=0)
         s1 = min(self.STAGE1_ITERS, max_iterations)
-        nb = min(self.STRAGGLER_SLOTS, Bp)
+        nb = min(self.STRAGGLER_SLOTS, inputs.shape[0])
         ok, cw, it = self._decode_adaptive_fused(
             kind, inputs, s1, max_iterations, nb, chunk
         )

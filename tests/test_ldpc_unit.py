@@ -253,6 +253,38 @@ class TestAdaptive:
         finally:
             c.DECODE_CHUNK = old
 
+    def test_plain_ragged_chunked_matches_unchunked(self):
+        """A plain decode_hard/decode_soft call with B % chunk != 0 must
+        pad to a chunk multiple (keeping the fast-gather chunking) and
+        return results bit-identical to a fully unchunked decode."""
+        from libpoporon_tpu.utils import bits as bitutils
+        c = codec(block=64)
+        rng = np.random.default_rng(81)
+        B = 53  # chunk=16 -> pad to 64, 4 chunks
+        info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        bad = cw.copy()
+        for b in range(B):
+            nf = [0, 1, 3, 40][b % 4]
+            for p in rng.choice(c.codeword_bits, nf, replace=False):
+                bad[b, p // 8] ^= 1 << (7 - (p % 8))
+        cb = bitutils.unpack_np(bad, c.codeword_bits)
+        llr = np.where(cb == 1, -100, 100).astype(np.int8)
+        old = c.DECODE_CHUNK
+        try:
+            c.DECODE_CHUNK = 1 << 30  # unchunked ground truth
+            ref_h = [np.asarray(x) for x in c.decode_hard(bad)]
+            ref_s = [np.asarray(x) for x in c.decode_soft(llr)]
+            c.DECODE_CHUNK = 16
+            got_h = [np.asarray(x) for x in c.decode_hard(bad)]
+            got_s = [np.asarray(x) for x in c.decode_soft(llr)]
+        finally:
+            c.DECODE_CHUNK = old
+        for r, g in zip(ref_h + ref_s, got_h + got_s):
+            assert r.shape[0] == B and g.shape[0] == B
+            np.testing.assert_array_equal(r, g)
+
     def test_adaptive_soft_matches_plain(self):
         from libpoporon_tpu.utils import bits as bitutils
         c = codec(block=64)
