@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RSConfig
+from ..ops import gfbit
 from ..ops.gf import GF, GFError
 from ..ops.gf2 import gf2_matmul
 from ..ops.gfint import gf_mul, onehot_select, scatter_mod2, table_select
@@ -300,71 +301,106 @@ class RSCodec:
             el = jax.lax.fori_loop(1, E, body, el)
         return el
 
-    def _berlekamp_massey(self, s_norm, el_init, eras_count,
-                          no_erasures: bool = False):
-        """Fixed-trip branchless BM (decode.c:49-96), normal domain.
+    def _bm_planes(self, s_cm, el0_cm, eras_count, no_erasures: bool):
+        """Fixed-trip branchless BM (decode.c:49-96), fully bit-sliced.
 
-        s_norm: [B, nr] syndromes; el_init: [B, nr+1] initial locator.
-        no_erasures (static): the plain/external-syndrome paths have a
-        structurally zero erasure count, so the per-element "skip the
-        first eras_count iterations" masking is dropped at trace time.
-        Returns error_locator [B, nr+1].
+        The per-iteration GF products (discrepancy, locator update,
+        b-poly rescale, inversion) run on batch-packed bit planes
+        (ops/gfbit.py): ~10x fewer VPU ops and 4x less HBM traffic than
+        the packed-int form.  Control flow stays packed too: poly_deg
+        lives as an 8-bit-sliced integer ([8, W] planes) and the grow
+        condition / updates use ripple compare/add/sub circuits
+        (gfbit.u_le/u_add/u_sub) — the loop body never touches an
+        unpacked [B] tensor.
+
+        s_cm:   [nr, m, W] syndrome planes (coeff-major).
+        el0_cm: [nr+1, m, W] initial locator planes.
+        eras_count: [B] int32 (ignored when no_erasures).
+        Returns error-locator planes [nr+1, m, W].
         """
-        B = s_norm.shape[0]
-        fs, nr = self.fs, self.num_roots
-        lane = jnp.arange(nr + 1, dtype=jnp.int32)[None, :]
-
+        m, poly, nr = self.m, self.poly, self.num_roots
+        W = s_cm.shape[-1]
+        PD_BITS = 8  # poly_deg and it+ec fit in 8 bits for nr <= 127
+        zero_row = jnp.zeros((1, m, W), dtype=gfbit.U32)
         # window buffer: at iteration it, v_j = S[it-1-j] for j < it
         sbuf = jnp.concatenate(
-            [s_norm[:, ::-1], jnp.zeros((B, nr + 1), jnp.int32)], axis=1
+            [s_cm[::-1], jnp.zeros((nr + 1, m, W), dtype=gfbit.U32)], axis=0
         )
+        lane = jnp.arange(nr + 1, dtype=jnp.int32)[:, None, None]
 
-        def shift_x(x):  # multiply polynomial by x
-            return jnp.roll(x, 1, axis=1).at[:, 0].set(0)
-
-        if no_erasures:
-            eras_count = 0  # python scalar: folded into the trace
+        if not no_erasures:
+            ec_p = gfbit.pack_planes(eras_count.astype(jnp.int32), PD_BITS)
 
         def body(it, state):
-            el, bpoly, poly_deg = state
-            v = jax.lax.dynamic_slice(sbuf, (0, nr - it), (B, nr + 1))
-            v = jnp.where(lane < it, v, 0)
-            disc = _xor_reduce(self._gf_mul(el, v), 1)            # [B]
-            no_disc = (disc == 0)[:, None]
+            el, bpoly, pd = state
+            v = jax.lax.dynamic_slice(sbuf, (nr - it, 0, 0), (nr + 1, m, W))
+            v = jnp.where(lane < it, v, gfbit.U32(0))
+            disc = gfbit.xor_reduce(gfbit.mul(el, v, m, poly), 0)  # [m, W]
+            disc_nz_w = gfbit.nonzero_mask(disc[None])[0]          # [W]
 
-            xb = shift_x(bpoly)
-            poly_new = el ^ self._gf_mul(disc[:, None], xb)
+            xb = jnp.concatenate([zero_row, bpoly[:-1]], axis=0)   # b * x
+            # disc == 0 makes the product vanish, so this IS the
+            # "keep el" branch of the reference
+            new_el = el ^ gfbit.mul(disc[None], xb, m, poly)
 
-            grow = (2 * poly_deg <= it + eras_count - 1)[:, None]
-            disc_inv = table_select(self.inv_tbl, disc)           # [B]
-            b_grow = self._gf_mul(el, disc_inv[:, None])
+            # grow condition 2*pd <= it + ec - 1 on packed planes
+            if no_erasures:
+                rhs = gfbit.u_broadcast(it - 1, PD_BITS, W)
+                it_ec = gfbit.u_broadcast(it, PD_BITS, W)
+            else:
+                it_p = gfbit.u_broadcast(it, PD_BITS, W)
+                it_ec = gfbit.u_add(it_p, ec_p)
+                rhs = gfbit.u_sub(
+                    it_ec, gfbit.u_broadcast(1, PD_BITS, W)
+                )
+            pd2 = jnp.concatenate([pd[:1] & 0, pd[:-1]], axis=0)   # 2*pd
+            grow_w = gfbit.u_le(pd2, rhs) & disc_nz_w              # [W]
 
-            new_el = jnp.where(no_disc, el, poly_new)
-            new_b = jnp.where(no_disc, xb, jnp.where(grow, b_grow, xb))
-            new_pd = jnp.where(
-                no_disc[:, 0], poly_deg,
-                jnp.where(grow[:, 0], it + eras_count - poly_deg, poly_deg),
-            )
+            disc_inv = gfbit.inv(disc[None], m, poly)              # [1, m, W]
+            b_grow = gfbit.mul(el, disc_inv, m, poly)
+
+            new_b = gfbit.select(grow_w, b_grow, xb)
+            new_pd = gfbit.select(grow_w, gfbit.u_sub(it_ec, pd), pd)
             return new_el, new_b, new_pd
 
         def outer(it, state):
-            el, bpoly, poly_deg = state
+            el, bpoly, pd = state
             new = body(it, state)
-            active = (it > eras_count)[:, None]
+            # active: it > ec  <=>  NOT (it <= ec)
+            it_p = gfbit.u_broadcast(it, PD_BITS, W)
+            active_w = ~gfbit.u_le(it_p, ec_p)
             return (
-                jnp.where(active, new[0], el),
-                jnp.where(active, new[1], bpoly),
-                jnp.where(active[:, 0], new[2], poly_deg),
+                gfbit.select(active_w, new[0], el),
+                gfbit.select(active_w, new[1], bpoly),
+                gfbit.select(active_w, new[2], pd),
             )
 
         pd0 = (
-            jnp.zeros((B,), jnp.int32) if no_erasures
-            else eras_count.astype(jnp.int32)
+            jnp.zeros((PD_BITS, W), dtype=gfbit.U32) if no_erasures else ec_p
         )
-        state = (el_init, el_init, pd0)
+        state = (el0_cm, el0_cm, pd0)
         step = body if no_erasures else outer
         el, _, _ = jax.lax.fori_loop(1, nr + 1, step, state)
         return el
+
+    def _omega_planes(self, el_cm, s_cm):
+        """Omega = S * lambda mod x^nr (decode.c:147-158), bit-sliced.
+
+        One unrolled polynomial convolution over coeff-major planes:
+        omega_i = XOR_j el_j * S_{i-j}.  el_cm [nr+1, m, W];
+        s_cm [nr, m, W].  Returns [nr, m, W]."""
+        m, poly, nr = self.m, self.poly, self.num_roots
+        W = s_cm.shape[-1]
+        spad = jnp.concatenate(
+            [jnp.zeros((nr, m, W), dtype=gfbit.U32), s_cm], axis=0
+        )                                                          # [2nr, m, W]
+        acc = None
+        for j in range(nr + 1):
+            term = gfbit.mul(
+                el_cm[j : j + 1], spad[nr - j : 2 * nr - j], m, poly
+            )
+            acc = term if acc is None else acc ^ term
+        return acc
 
     def _eval_at_all_points(self, coeffs, matrix):
         """GF(2)-linear evaluation of per-element polynomials at all fs
@@ -386,11 +422,21 @@ class RSCodec:
         fs, nr, m = self.fs, self.num_roots, self.m
         t_max = nr
 
+        s_cm = gfbit.pack_planes(s_norm.T, m)                     # [nr, m, W]
         if no_erasures:
-            el0 = jnp.zeros((B, nr + 1), jnp.int32).at[:, 0].set(1)
+            W = s_cm.shape[-1]
+            el0_cm = (
+                jnp.zeros((nr + 1, m, W), dtype=gfbit.U32)
+                .at[0, 0].set(gfbit.U32(0xFFFFFFFF))              # lambda = 1
+            )
         else:
             el0 = self._erasure_locator(eras_pos, eras_count, pad)
-        el = self._berlekamp_massey(s_norm, el0, eras_count, no_erasures)
+            el0_cm = gfbit.pack_planes(el0.T, m)
+        el_cm = self._bm_planes(s_cm, el0_cm, eras_count, no_erasures)
+        omega_all = gfbit.unpack_planes(
+            self._omega_planes(el_cm, s_cm), B
+        ).T                                                       # [B, nr]
+        el = gfbit.unpack_planes(el_cm, B).T                      # [B, nr+1]
 
         lane = jnp.arange(nr + 1, dtype=jnp.int32)[None, :]
         deg = jnp.max(jnp.where(el != 0, lane, 0), axis=1)        # [B]
@@ -417,19 +463,10 @@ class RSCodec:
         locs = jnp.where(jvalid, (roots * self.prim_inv - 1) % fs, 0)
 
         # --- Omega = S * lambda mod x^nr, entries masked to < deg
-        # (decode.c:147-158).  The polynomial product is ONE fused clmul
-        # over a statically shifted syndrome stack (SS[:, j, i] = S_{i-j})
-        # + an XOR reduction, instead of nr+1 sequential roll/mul/xor
-        # passes — 2.3x faster at production batch, bit-identical. ---
-        spad2 = jnp.pad(s_norm, ((0, 0), (nr, 0)))               # [B, 2nr]
-        ss = jnp.stack(
-            [jax.lax.slice(spad2, (0, nr - j), (B, 2 * nr - j))
-             for j in range(nr + 1)],
-            axis=1,
-        )                                                         # [B, nr+1, nr]
-        omega = _xor_reduce(self._gf_mul(el[:, :, None], ss), 1)  # [B, nr]
+        # (decode.c:147-158); the convolution itself ran bit-sliced
+        # above (_omega_planes) ---
         ii = jnp.arange(nr, dtype=jnp.int32)[None, :]
-        omega = jnp.where(ii <= deg[:, None] - 1, omega, 0)
+        omega = jnp.where(ii <= deg[:, None] - 1, omega_all, 0)
 
         # --- Forney (decode.c:160-191): evaluate at all points, compact
         # per-root with one-hot einsums ---
