@@ -36,6 +36,15 @@ import numpy as np
 BATCH = 131072
 LDPC_BATCH = 131072
 
+# Smoke mode (ci.sh): tiny batches on CPU — exercises every bench code
+# path in seconds, producing no meaningful throughput numbers.
+import os
+
+SMOKE = os.environ.get("PPTPU_BENCH_SMOKE", "") == "1"
+if SMOKE:
+    BATCH = 1024
+    LDPC_BATCH = 2048
+
 
 def log(obj):
     print("# " + json.dumps(obj), file=sys.stderr, flush=True)
@@ -101,6 +110,8 @@ def bench_reference_rs(corrupt, parity, n=512):
 def main():
     import jax
 
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -153,8 +164,9 @@ def main():
     # ---------------- BCH(15,5) batch ----------------
     bch = pp.create(pp.bch_config_default())._bch
     words = rng.integers(0, 1 << 15, (10240,), dtype=np.int32)
-    wj = jax.device_put(words)
-    dt = time_fn(lambda w: bch._decode(w), wj)
+    wbits = ((words[:, None] >> np.arange(15)) & 1).astype(np.int32)
+    wj = jax.device_put(wbits)
+    dt = time_fn(lambda w: bch._decode_bits(w), wj)
     log({"bench": "bch15_decode", "codewords_per_s": 10240 / dt})
 
     # ---------------- LDPC rate-1/2 n=128B hard decode ----------------

@@ -82,6 +82,20 @@ class LdpcConfig:
     max_iterations: int = 0  # 0 -> default 50 (ldpc.c:23, 981-983)
     seed: int = 0
 
+    # --- TPU execution policy (no reference analogue; results are
+    # bit-identical for every setting — these trade wall-clock only) ---
+    # Iterations the cheap first stage of the adaptive cascade runs
+    # before straggler compaction.  0 -> per-block-size default.
+    adaptive_stage1_iters: int = 0
+    # Straggler slots per full-budget pass.  0 -> per-block-size default.
+    adaptive_straggler_slots: int = 0
+    # Codewords per BP chunk (gather fast-regime width).  0 -> scaled
+    # default from the message-tensor footprint.
+    decode_chunk: int = 0
+    # Batch size at which the facade switches to the adaptive cascade.
+    # 0 -> default 512.
+    adaptive_batch_threshold: int = 0
+
     fec_type = FecType.LDPC
 
 

@@ -135,10 +135,9 @@ class Codec:
         c = self._bch
         if data.shape[-1] < c.data_bytes:
             raise ValueError("BCH encode: data too short (encode.c:211)")
-        val = c.pack_data(data)
-        _, cw = c.encode(val)
-        pval = cw & ((1 << c.parity_bits) - 1)
-        parity = c.unpack_parity(pval)
+        dbits = c.pack_data(data)
+        cw_bits = c.encode_bits(dbits)
+        parity = c.unpack_parity(cw_bits[..., : c.parity_bits])
         return EncodeResult(data, parity)
 
     # --------------------------------------------------------- decode
@@ -185,7 +184,7 @@ class Codec:
         # use_soft_decode with no LLRs silently falls back to hard
         # decoding (reference quirk, decode.c:509-514).  Large batches
         # use the two-phase adaptive driver (bit-identical results).
-        adaptive = data.shape[0] >= 512
+        adaptive = data.shape[0] >= (cfg.adaptive_batch_threshold or 512)
         if cfg.use_soft_decode and soft_llr is not None:
             if adaptive:
                 ok, cw_out, iters = c.decode_soft_adaptive(
@@ -209,11 +208,11 @@ class Codec:
         c = self._bch
         if data.shape[-1] < c.data_bytes:
             raise ValueError("BCH decode: data too short (decode.c:555)")
-        dval = c.pack_data(data)
-        pval = c.pack_parity(parity)
-        received = (dval << c.parity_bits) | pval
-        ok, cw, nerr = c.decode(received)
-        out_bytes = c.unpack_data(c.extract_data(cw))
+        dbits = c.pack_data(data)
+        pbits = c.pack_parity(parity)
+        received = jnp.concatenate([pbits, dbits], axis=-1)   # [B, n] bits
+        ok, cw, nerr = c.decode_bits(received)
+        out_bytes = c.unpack_data(cw[..., c.parity_bits :])
         data_out = jnp.where(ok[:, None], out_bytes, data)
         corrected = jnp.where(ok, jnp.maximum(nerr, 0), 0)
         self.last_num_errors = jnp.where(ok, nerr, -1)

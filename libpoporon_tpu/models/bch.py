@@ -16,10 +16,15 @@ bit loops; here a whole uint32 batch is decoded at once.
   with one matmul (coefficients masked to degree error_count, matching
   bch_poly_eval's explicit degree bound).
 
-NOTE: the reference packs codewords in a uint32, so m=6 (n=63) invokes
-undefined shifts in C; this implementation uses 64-bit words and is
-well-defined for m <= 6, with bit-exactness vs the reference guaranteed
-(and tested) for m <= 5.
+Word sizes: the reference packs codewords in a uint32, so its support
+matrix's BCH(63,51) row (README.md:427) is undefined behavior in C —
+n=63 does not fit, and the byte wrappers shift a uint32 by >=32 bits
+(encode.c:215, decode.c:561).  Here the canonical device representation
+is an LSB-first bit tensor [B, n], which is well-defined for every
+m in [3, 16]; the int32 word API is kept as an adapter for n <= 31.
+Bit-exactness vs the reference is oracle-tested for m <= 5; m = 6 is
+spec-level tested (t errors corrected, t+1 rejected, byte round-trip),
+since no well-defined C behavior exists to compare against.
 """
 
 from __future__ import annotations
@@ -165,30 +170,54 @@ class BCHCodec:
             inv[x] = gf.log2exp[(fs - int(gf.exp2log[x])) % fs]
         self.inv_tbl = jnp.asarray(inv, dtype=jnp.int32)
 
-    # ------------------------------------------------------- word codec
+    # --------------------------------------------------- bit-tensor codec
+    #
+    # Canonical representation: LSB-first codeword bits [B, n] int32
+    # (bit j = coefficient of x^j), well-defined for every m.  The C
+    # word layout cw = (data << parity_bits) | parity maps to
+    # bits[:parity_bits] = parity, bits[parity_bits:] = data.
 
     def _word_bits(self, w):
-        """int word [B] -> LSB-first bits [B, n]."""
+        """int word [B] -> LSB-first bits [B, n] (n <= 31 only)."""
         shifts = jnp.arange(self.n, dtype=jnp.int32)
         return ((w.astype(jnp.int32)[:, None] >> shifts) & 1).astype(jnp.int32)
 
+    def _bits_word(self, bits):
+        """LSB-first bits [B, n] -> int32 word [B] (n <= 31 only)."""
+        w = jnp.left_shift(jnp.int32(1), jnp.arange(self.n, dtype=jnp.int32))
+        return (bits.astype(jnp.int32) * w).sum(axis=1)
+
     @functools.partial(jax.jit, static_argnums=0)
-    def _encode(self, data):
-        """data int words [B] -> codeword words [B] (no validity check)."""
-        shifts = jnp.arange(self.data_length, dtype=jnp.int32)
-        bits = ((data.astype(jnp.int32)[:, None] >> shifts) & 1).astype(jnp.float32)
+    def _encode_bits(self, data_bits):
+        """data bits [B, data_length] LSB-first -> codeword bits [B, n]."""
+        bits = data_bits.astype(jnp.float32)
         pbits = gf2_matmul(bits, self.R_enc).astype(jnp.int32)  # [B, parity]
-        pw = (pbits << jnp.arange(self.parity_bits, dtype=jnp.int32)).sum(axis=1)
-        return (data.astype(jnp.int32) << self.parity_bits) ^ pw
+        return jnp.concatenate([pbits, data_bits.astype(jnp.int32)], axis=1)
+
+    def encode_bits(self, data_bits):
+        """Batched bit encode: [B, data_length] -> [B, n] (all m)."""
+        return self._encode_bits(jnp.asarray(data_bits))
 
     def encode(self, data):
-        """Batched word encode; returns (ok [B], codeword [B] int32)."""
+        """Batched word encode; returns (ok [B], codeword [B] int32).
+
+        Word adapter for n <= 31; use encode_bits for m = 6 (n = 63),
+        where a 63-bit codeword cannot live in an int32 lane.
+        """
+        if self.n > 31:
+            raise GFError(
+                "BCH word API is limited to n <= 31; use encode_bits / "
+                "the byte facade for m = 6 (reference uint32 packing is "
+                "UB there, encode.c:215)"
+            )
         data = jnp.asarray(data)
         squeeze = data.ndim == 0
         if squeeze:
             data = data[None]
         ok = data.astype(jnp.int32) < (1 << self.data_length)
-        cw = self._encode(data)
+        shifts = jnp.arange(self.data_length, dtype=jnp.int32)
+        dbits = (data.astype(jnp.int32)[:, None] >> shifts) & 1
+        cw = self._bits_word(self._encode_bits(dbits))
         cw = jnp.where(ok, cw, 0)
         return (ok[0], cw[0]) if squeeze else (ok, cw)
 
@@ -212,11 +241,14 @@ class BCHCodec:
         # window buffer: at iteration it, w_j = S[it-j] for 0 <= j <= it
         sbuf = jnp.concatenate([S[:, ::-1], jnp.zeros((B, P), jnp.int32)], axis=1)
 
-        current = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
-        prev = jnp.zeros((B, P), jnp.int32).at[:, 0].set(1)
-        ec = jnp.zeros((B,), jnp.int32)
-        shift = jnp.ones((B,), jnp.int32)
-        prev_disc = jnp.ones((B,), jnp.int32)
+        # derive the initial state from a varying input (S * 0) so the
+        # loop carry type is stable under shard_map manual axes
+        zcol = S[:, :1] & 0                                    # [B, 1] zeros
+        current = jnp.broadcast_to(zcol, (B, P)).at[:, 0].set(1)
+        prev = current
+        ec = zcol[:, 0]
+        shift = zcol[:, 0] + 1
+        prev_disc = zcol[:, 0] + 1
 
         def mul(a, b):
             return gf_mul(a, b, self.m, self.gf.generator_polynomial)
@@ -260,12 +292,9 @@ class BCHCodec:
         return current, ec
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _decode(self, received):
-        """received int words [B] -> (ok, corrected words, num_errors)."""
-        B = received.shape[0]
-        mask_n = (1 << self.n) - 1
-        received = received.astype(jnp.int32) & mask_n
-        bits = self._word_bits(received)
+    def _decode_bits(self, bits):
+        """received bits [B, n] -> (ok, corrected bits, num_errors)."""
+        bits = bits.astype(jnp.int32)
         S = self._syndromes(bits)
         clean = ~jnp.any(S != 0, axis=1)
 
@@ -284,29 +313,41 @@ class BCHCodec:
         found = selected.astype(jnp.int32).sum(axis=1)
         fail_found = found != ec
 
-        pos_vals = jnp.arange(self.n, dtype=jnp.int32)[None, :]
-        flip = jnp.where(selected, jnp.int32(1) << pos_vals, 0).sum(axis=1)
-        corrected = received ^ flip
+        corrected = bits ^ selected.astype(jnp.int32)
 
-        S2 = self._syndromes(self._word_bits(corrected))
+        S2 = self._syndromes(corrected)
         fail_verify = jnp.any(S2 != 0, axis=1)
 
         ok = clean | ~(fail_t | fail_found | fail_verify)
         num_errors = jnp.where(clean, 0, jnp.where(ok, found, 0))
-        out = jnp.where(clean | ~ok, received, corrected)
+        out = jnp.where((clean | ~ok)[:, None], bits, corrected)
         return ok, out, num_errors
 
+    def decode_bits(self, received_bits):
+        """Batched bit decode: [B, n] -> (ok, corrected bits, num_errors)."""
+        return self._decode_bits(jnp.asarray(received_bits))
+
     def decode(self, received):
-        """Batched word decode -> (ok [B], corrected [B], num_errors [B])."""
+        """Batched word decode -> (ok [B], corrected [B], num_errors [B]).
+
+        Word adapter for n <= 31; use decode_bits for m = 6."""
+        if self.n > 31:
+            raise GFError(
+                "BCH word API is limited to n <= 31; use decode_bits / "
+                "the byte facade for m = 6"
+            )
         received = jnp.asarray(received)
         squeeze = received.ndim == 0
         if squeeze:
             received = received[None]
-        ok, cw, ne = self._decode(received)
+        mask_n = (1 << self.n) - 1
+        received = received.astype(jnp.int32) & mask_n
+        ok, out, ne = self._decode_bits(self._word_bits(received))
+        cw = self._bits_word(out)
         return (ok[0], cw[0], ne[0]) if squeeze else (ok, cw, ne)
 
     def extract_data(self, codeword):
-        """bch.c:437-444."""
+        """bch.c:437-444 (n <= 31 word form)."""
         cw = jnp.asarray(codeword).astype(jnp.int32)
         return (cw >> self.parity_bits) & ((1 << self.data_length) - 1)
 
@@ -320,37 +361,52 @@ class BCHCodec:
     def parity_bytes(self) -> int:
         return (self.parity_bits + 7) // 8
 
-    def pack_data(self, data):
-        """Big-endian byte pack (encode.c:215-221), batched [B, data_bytes]."""
-        data = jnp.asarray(data).astype(jnp.int32)
-        nb = min(self.data_bytes, 4)
-        weights = jnp.left_shift(
-            jnp.int32(1), 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int32)
-        )[:nb]
-        val = (data[..., :nb] * weights).sum(axis=-1)
-        if self.data_length < 32:
-            val = val & ((1 << self.data_length) - 1)
-        return val
+    # Byte <-> bit packing, big-endian bytes, value masked to `length`
+    # bits (encode.c:215-221 / decode.c:559-575 semantics).  The C
+    # loops clamp at 4 bytes because the value lives in a uint32; the
+    # bit form below is the same mapping without the clamp, so it is
+    # identical for n <= 31 and well-defined for m = 6.
 
-    def unpack_data(self, val):
-        """Big-endian byte unpack (decode.c:585-587)."""
-        val = jnp.asarray(val).astype(jnp.int32)
-        shifts = 8 * jnp.arange(self.data_bytes - 1, -1, -1, dtype=jnp.int32)
-        return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
+    @staticmethod
+    def _bytes_to_bits(bs, length):
+        """uint8 [..., nb] big-endian -> LSB-first bits [..., length]."""
+        bs = jnp.asarray(bs).astype(jnp.int32)
+        nb = bs.shape[-1]
+        j = jnp.arange(length, dtype=jnp.int32)
+        byte_of = nb - 1 - j // 8
+        shift_of = j % 8
+        return (jnp.take(bs, byte_of, axis=-1) >> shift_of) & 1
+
+    @staticmethod
+    def _bits_to_bytes(bits, length, nbytes):
+        """LSB-first bits [..., length] -> big-endian uint8 [..., nbytes]."""
+        bits = jnp.asarray(bits).astype(jnp.int32)
+        pad = nbytes * 8 - length
+        if pad:
+            bits = jnp.concatenate(
+                [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.int32)], axis=-1
+            )
+        # byte i holds bits [8*(nbytes-1-i), 8*(nbytes-1-i)+8), LSB-first
+        b = bits.reshape(bits.shape[:-1] + (nbytes, 8))
+        w = jnp.left_shift(jnp.int32(1), jnp.arange(8, dtype=jnp.int32))
+        return (b * w).sum(axis=-1)[..., ::-1].astype(jnp.uint8)
+
+    def pack_data(self, data):
+        """uint8 [B, data_bytes] -> data bits [B, data_length]."""
+        return self._bytes_to_bits(
+            jnp.asarray(data)[..., : self.data_bytes], self.data_length
+        )
+
+    def unpack_data(self, bits):
+        """data bits [B, data_length] -> uint8 [B, data_bytes]."""
+        return self._bits_to_bytes(bits, self.data_length, self.data_bytes)
 
     def pack_parity(self, parity):
-        parity = jnp.asarray(parity).astype(jnp.int32)
-        nb = min(self.parity_bytes, 4)
-        weights = jnp.left_shift(
-            jnp.int32(1),
-            8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int32),
-        )[:nb]
-        val = (parity[..., :nb] * weights).sum(axis=-1)
-        if self.parity_bits < 32:
-            val = val & ((1 << self.parity_bits) - 1)
-        return val
+        """uint8 [B, parity_bytes] -> parity bits [B, parity_bits]."""
+        return self._bytes_to_bits(
+            jnp.asarray(parity)[..., : self.parity_bytes], self.parity_bits
+        )
 
-    def unpack_parity(self, val):
-        val = jnp.asarray(val).astype(jnp.int32)
-        shifts = 8 * jnp.arange(self.parity_bytes - 1, -1, -1, dtype=jnp.int32)
-        return ((val[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
+    def unpack_parity(self, bits):
+        """parity bits [B, parity_bits] -> uint8 [B, parity_bytes]."""
+        return self._bits_to_bytes(bits, self.parity_bits, self.parity_bytes)

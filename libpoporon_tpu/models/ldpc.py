@@ -412,7 +412,9 @@ class LdpcStructure:
         )
 
 
-_STRUCT_CACHE: dict = {}
+from ..utils.cache import LruCache
+
+_STRUCT_CACHE = LruCache(capacity=16)
 
 
 def get_structure(cfg: LdpcConfig) -> LdpcStructure:
@@ -421,11 +423,7 @@ def get_structure(cfg: LdpcConfig) -> LdpcStructure:
         cfg.use_inner_interleave, cfg.use_outer_interleave,
         cfg.interleave_depth, cfg.lifting_factor, cfg.seed,
     )
-    s = _STRUCT_CACHE.get(key)
-    if s is None:
-        s = LdpcStructure(cfg)
-        _STRUCT_CACHE[key] = s
-    return s
+    return _STRUCT_CACHE.get_or_build(key, lambda: LdpcStructure(cfg))
 
 
 # =====================================================================
@@ -500,6 +498,16 @@ class LDPCCodec:
         while p2 * 2 <= chunk:
             p2 *= 2
         self.DECODE_CHUNK = min(p2, 1024)
+
+        # Execution-policy overrides (LdpcConfig; 0 = keep the default).
+        # All three are pure wall-clock knobs — decode results are
+        # bit-identical for every setting.
+        if cfg.decode_chunk:
+            self.DECODE_CHUNK = max(1, int(cfg.decode_chunk))
+        if cfg.adaptive_stage1_iters:
+            self.STAGE1_ITERS = int(cfg.adaptive_stage1_iters)
+        if cfg.adaptive_straggler_slots:
+            self.STRAGGLER_SLOTS = int(cfg.adaptive_straggler_slots)
 
     # ------------------------------------------------------- bit plumbing
     #

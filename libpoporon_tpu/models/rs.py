@@ -118,7 +118,9 @@ def _encode_np(gf: GF, genlog: np.ndarray, num_roots: int, data: np.ndarray) -> 
     return parity
 
 
-_MATRIX_CACHE: dict = {}
+from ..utils.cache import LruCache
+
+_MATRIX_CACHE = LruCache(capacity=16)
 
 
 class RSCodec:
@@ -151,10 +153,7 @@ class RSCodec:
         self.genlog = _build_genpoly(gf, self.fcr, self.prim, self.num_roots)
 
         key = (self.m, gf.generator_polynomial, self.fcr, self.prim, self.num_roots)
-        mats = _MATRIX_CACHE.get(key)
-        if mats is None:
-            mats = self._build_matrices()
-            _MATRIX_CACHE[key] = mats
+        mats = _MATRIX_CACHE.get_or_build(key, self._build_matrices)
         (g_enc, g_syn, m_chien, m_omega, m_den,
          inv_tbl, sec_tbl, alpha_tbl) = mats
 
@@ -376,17 +375,25 @@ class RSCodec:
             )
 
         pd0 = (
-            jnp.zeros((PD_BITS, W), dtype=gfbit.U32) if no_erasures else ec_p
+            jnp.broadcast_to(s_cm[0, :1] & gfbit.U32(0), (PD_BITS, W))
+            if no_erasures else ec_p
         )
         state = (el0_cm, el0_cm, pd0)
         step = body if no_erasures else outer
         el, _, _ = jax.lax.fori_loop(1, nr + 1, step, state)
         return el
 
+    # Unroll budget for the omega convolution: below this the nr+1-term
+    # loop is emitted inline (XLA fuses the whole convolution — the
+    # round-2 "fused omega" win on the 32-root flagship); above it the
+    # unroll would dominate compile time (~19k HLO ops at nr=127, ~57 s
+    # to compile), so it runs as a fori_loop instead.
+    _OMEGA_UNROLL_MAX = 48
+
     def _omega_planes(self, el_cm, s_cm):
         """Omega = S * lambda mod x^nr (decode.c:147-158), bit-sliced.
 
-        One unrolled polynomial convolution over coeff-major planes:
+        Polynomial convolution over coeff-major planes:
         omega_i = XOR_j el_j * S_{i-j}.  el_cm [nr+1, m, W];
         s_cm [nr, m, W].  Returns [nr, m, W]."""
         m, poly, nr = self.m, self.poly, self.num_roots
@@ -394,13 +401,22 @@ class RSCodec:
         spad = jnp.concatenate(
             [jnp.zeros((nr, m, W), dtype=gfbit.U32), s_cm], axis=0
         )                                                          # [2nr, m, W]
-        acc = None
-        for j in range(nr + 1):
-            term = gfbit.mul(
-                el_cm[j : j + 1], spad[nr - j : 2 * nr - j], m, poly
-            )
-            acc = term if acc is None else acc ^ term
-        return acc
+        if nr <= self._OMEGA_UNROLL_MAX:
+            acc = None
+            for j in range(nr + 1):
+                term = gfbit.mul(
+                    el_cm[j : j + 1], spad[nr - j : 2 * nr - j], m, poly
+                )
+                acc = term if acc is None else acc ^ term
+            return acc
+
+        def body(j, acc):
+            ej = jax.lax.dynamic_slice(el_cm, (j, 0, 0), (1, m, W))
+            sj = jax.lax.dynamic_slice(spad, (nr - j, 0, 0), (nr, m, W))
+            return acc ^ gfbit.mul(ej, sj, m, poly)
+
+        acc0 = jnp.zeros((nr, m, W), dtype=gfbit.U32)
+        return jax.lax.fori_loop(0, nr + 1, body, acc0)
 
     def _eval_at_all_points(self, coeffs, matrix):
         """GF(2)-linear evaluation of per-element polynomials at all fs
@@ -425,8 +441,10 @@ class RSCodec:
         s_cm = gfbit.pack_planes(s_norm.T, m)                     # [nr, m, W]
         if no_erasures:
             W = s_cm.shape[-1]
+            # derive from a varying input (s_cm & 0) so the BM loop
+            # carry type is stable under shard_map manual axes
             el0_cm = (
-                jnp.zeros((nr + 1, m, W), dtype=gfbit.U32)
+                jnp.broadcast_to(s_cm[:1] & gfbit.U32(0), (nr + 1, m, W))
                 .at[0, 0].set(gfbit.U32(0xFFFFFFFF))              # lambda = 1
             )
         else:

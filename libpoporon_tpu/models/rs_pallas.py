@@ -1,0 +1,464 @@
+"""Fused Pallas RS decoder — the whole plain-decode pipeline in one
+TPU kernel.
+
+Spec: error_correction_u8 (/root/reference/src/decode.c:17-230) and
+rs_decode's plain path (decode.c:431-485); bit-exact with the XLA path
+(models/rs.py), which is itself oracle-exact.
+
+Why Pallas here: profiled on hardware, the XLA decode path sustains
+only ~13 TFLOPs-equivalent of MXU math — wall-clock is dominated by
+the VPU-bound stages (Berlekamp-Massey's 2t sequential steps, root
+compaction, Forney, verification), whose GF multiplies XLA can only
+express as bit-sliced plane arithmetic (~150 VPU ops per 32 packed
+elements) or broadcast-compare table selects (~256 ops/element),
+because TPU XLA's runtime gathers are row-DMA latency-bound at these
+shapes.  Inside Pallas, Mosaic exposes the (8, 128)-vreg dynamic
+gather, so a 256-entry GF table lookup costs ~6 VPU ops per 1024
+elements (ops/pallas_gf.py) — and the entire decode state (syndromes,
+locator, roots, corrections) stays VMEM-resident across stages instead
+of round-tripping through HBM between XLA fusions.
+
+Layout: one grid step decodes a block of 128 codewords living on the
+LANE axis; every working tensor is [rows, 128].  The two big GF(2)
+bit-linear evaluations (syndromes, Chien) run as bf16 MXU matmuls
+against the same constant matrices the XLA path uses (exact: 0/1
+values, f32 accumulation of <= 2040 terms).
+
+Scope: plain decode path (no erasures / external syndromes), m = 8,
+num_roots <= 64, fcr/prim small enough that every log-domain sum fits
+the shift-add fold (mod_fs) — i.e. the shipping RS(255,*) family.
+Other paths fall back to the XLA kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import pallas_gf as pgf
+
+LANES = 128
+
+
+def _roll_sub(x, sh):
+    """Static roll along the sublane (first) axis of [8, 128]."""
+    return jnp.concatenate([x[8 - sh :], x[: 8 - sh]], axis=0)
+
+
+def _reduce_rows(x, op):
+    """[R, 128] -> [8, 128] with every row equal to the full reduction."""
+    R = x.shape[0]
+    t = x.reshape(R // 8, 8, LANES)
+    acc = t[0]
+    for r in range(1, R // 8):
+        acc = op(acc, t[r])
+    for sh in (4, 2, 1):
+        acc = op(acc, _roll_sub(acc, sh))
+    return acc
+
+
+def _xor_rows(x):
+    return _reduce_rows(x, jnp.bitwise_xor)
+
+
+def _max_rows(x):
+    return _reduce_rows(x, jnp.maximum)
+
+
+def _min_rows(x):
+    return _reduce_rows(x, jnp.minimum)
+
+
+def _add_rows(x):
+    return _reduce_rows(x, jnp.add)
+
+
+def _or_rows(x):
+    return _reduce_rows(x, jnp.bitwise_or)
+
+
+def _shift_down(x, fill):
+    """[R, 128] -> rows shifted down by one, row 0 = fill."""
+    top = jnp.full((1, LANES), fill, x.dtype)
+    return jnp.concatenate([top, x[:-1]], axis=0)
+
+
+class RSPallasDecoder:
+    """Plain-path RS decode as a single fused Pallas kernel."""
+
+    @staticmethod
+    def supports(rs) -> bool:
+        """Config gate: everything the kernel's integer model assumes."""
+        return (
+            rs.m == 8
+            and rs.num_roots <= 64
+            # verify-stage exponents (fcr+i)*prim stay below the mod_fs
+            # fold bound used in the kernel
+            and (rs.fcr + rs.num_roots) * rs.prim < (1 << 15)
+        )
+
+    def __init__(self, rs):
+        """rs: models.rs.RSCodec (supplies tables + bit matrices)."""
+        assert self.supports(rs)
+        self.rs = rs
+        self.fs = rs.fs               # 255
+        self.nr = rs.num_roots
+        self.m = rs.m
+        self.prim_inv = rs.prim_inv
+        self.fcr, self.prim = rs.fcr, rs.prim
+        gf = rs.gf
+
+        # padded row counts for the (8,128) gather tiling
+        self.NR_P = ((self.nr + 7) // 8) * 8            # syndrome rows
+        self.EL_P = ((self.nr + 1 + 7) // 8) * 8        # locator rows
+
+        self.log_t = jnp.asarray(pgf.pack_table(gf.exp2log.astype(np.int32)))
+        self.antilog_t = jnp.asarray(pgf.pack_table(gf.log2exp.astype(np.int32)))
+        sec = np.asarray(jax.device_get(rs.sec_tbl))[: self.fs + 1]
+        inv = np.asarray(jax.device_get(rs.inv_tbl))[: self.fs + 1]
+        self.sec_t = jnp.asarray(pgf.pack_table(sec))
+        self.inv_t = jnp.asarray(pgf.pack_table(inv))
+        # bf16 transposed copies of the XLA path's bit matrices
+        self.G_synT = jnp.asarray(rs.G_syn, jnp.bfloat16).T   # [nr*m, fs*m]
+        self.M_chienT = jnp.asarray(rs.M_chien, jnp.bfloat16).T  # [fs*m, nr*m]
+        # verify-stage row constants a_i = ((fcr+i)*prim) mod fs
+        i = np.arange(self.nr, dtype=np.int64)
+        a = ((self.fcr + i) * self.prim) % self.fs
+        av = np.zeros((self.NR_P, 1), np.int32)
+        av[: self.nr, 0] = a
+        self.verify_a = jnp.asarray(np.broadcast_to(av, (self.NR_P, LANES)).copy())
+
+    # ------------------------------------------------------------ kernel
+
+    def _kernel(self, size: int, pad: int,
+                rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
+                inv_ref, va_ref, out_ref, aux_ref):
+        fs, nr, m = self.fs, self.nr, self.m
+        NRP, ELP = self.NR_P, self.EL_P
+        log_t, alog_t = log_ref[:], alog_ref[:]
+        lut = functools.partial(pgf.lut256, )
+
+        rx = rx_ref[:].astype(jnp.int32)                 # [fs, 128]
+
+        # ---- bits (MSB-first, matching gf.linear_matrix) ----
+        planes = [((rx >> (m - 1 - b)) & 1) for b in range(m)]
+        bits = jnp.stack(planes, axis=1).reshape(fs * m, LANES)
+        bits = bits.astype(jnp.bfloat16)
+
+        # ---- syndromes: one MXU matmul (decode.c:375-415 closed form) --
+        syn_bits = jax.lax.dot_general(
+            gsyn_ref[:], bits, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) & 1                           # [nr*m, 128]
+        s3 = syn_bits.reshape(nr, m, LANES)
+        s_sym = s3[:, 0, :]
+        for b in range(1, m):
+            s_sym = (s_sym << 1) | s3[:, b, :]            # [nr, 128]
+        if NRP != nr:
+            s_sym = jnp.concatenate(
+                [s_sym, jnp.zeros((NRP - nr, LANES), jnp.int32)], axis=0
+            )
+        has_err = _or_rows((s_sym != 0).astype(jnp.int32))  # [8,128] 0/1
+
+        synd_log = lut(log_t, s_sym)                      # [NRP, 128]
+        # window buffer: row i of the slice at iteration `it` must be
+        # synd_log[it-1-i] for i < it and the fs sentinel beyond
+        sbuf = jnp.concatenate(
+            [synd_log[: nr][::-1], jnp.full((ELP, LANES), fs, jnp.int32)],
+            axis=0,
+        )
+
+        # ---- Berlekamp-Massey (decode.c:49-96), fixed nr trips ----
+        zero_i = rx[:1] & 0                               # varying zero row
+        el0 = jnp.broadcast_to(zero_i, (ELP, LANES)).at[0].set(1)
+        coeff0 = jnp.where(el0 == 1, jnp.int32(0), jnp.int32(fs))
+        pd0 = zero_i                                      # [1, 128]
+
+        def bm_body(it, state):
+            el, coeff_log, pd = state
+            w = jax.lax.dynamic_slice(sbuf, (nr - it, 0), (ELP, LANES))
+            el_log = lut(log_t, el)
+            terms = pgf.gf_mul_log(alog_t, el_log, w, fs)
+            disc = _xor_rows(terms)                        # [8,128] equal rows
+            disc_log = lut(log_t, disc)
+            disc_nz = (disc[:1] != 0)                      # [1,128]
+
+            contrib = pgf.gf_mul_log(
+                alog_t, jnp.broadcast_to(disc_log[:1], (ELP, LANES)),
+                coeff_log, fs,
+            )
+            poly = el ^ _shift_down(contrib, 0)
+
+            grow = disc_nz & (2 * pd[:1] <= it - 1)        # [1,128]
+            # coeff division branch: log(el) - log(disc) (+fs), sentinel
+            # propagated for el == 0
+            d = el_log - jnp.broadcast_to(disc_log[:1], (ELP, LANES)) + fs
+            d = jnp.where(d >= fs, d - fs, d)
+            coeff_grow = jnp.where(el == 0, jnp.int32(fs), d)
+            coeff_shift = _shift_down(coeff_log, fs)
+            new_coeff = jnp.where(grow, coeff_grow, coeff_shift)
+            new_pd = jnp.where(grow[:1], it - pd, pd)
+            new_el = jnp.where(disc_nz, poly, el)
+            return new_el, new_coeff, new_pd
+
+        el, _, _ = jax.lax.fori_loop(
+            1, nr + 1, bm_body, (el0, coeff0, pd0), unroll=2
+        )
+
+        el_log = lut(log_t, el)                            # [ELP, 128]
+        rows_el = jax.lax.broadcasted_iota(jnp.int32, (ELP, LANES), 0)
+        deg8 = _max_rows(jnp.where(el != 0, rows_el, 0))   # [8,128]
+        deg = deg8[:1]                                     # [1,128]
+        fail_deg = deg == 0
+
+        # ---- Chien over all fs points: one MXU matmul ----
+        lam = el[1 : nr + 1]                               # [nr, 128]
+        lplanes = [((lam >> (m - 1 - b)) & 1) for b in range(m)]
+        lam_bits = jnp.stack(lplanes, axis=1).reshape(nr * m, LANES)
+        ev_bits = jax.lax.dot_general(
+            mchien_ref[:], lam_bits.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) & 1                            # [fs*m, 128]
+        e3 = ev_bits.reshape(fs, m, LANES)
+        terms = e3[:, 0, :]
+        for b in range(1, m):
+            terms = (terms << 1) | e3[:, b, :]             # [fs, 128]
+        root_mask = (terms == 1).astype(jnp.int32)
+
+        # ---- root compaction in scan order (decode.c:115-141) ----
+        FSP = fs + 1                                       # 256 rows
+        mask = jnp.concatenate(
+            [root_mask, jnp.zeros((FSP - fs, LANES), jnp.int32)], axis=0
+        )
+        cum = mask
+        sh = 1
+        while sh < FSP:
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, LANES), jnp.int32), cum[: FSP - sh]], axis=0
+            )
+            cum = cum + shifted
+            sh *= 2
+        rank = cum - 1                                     # inclusive-1
+        rows_f = jax.lax.broadcasted_iota(jnp.int32, (FSP, LANES), 0)
+        i_vals = rows_f + 1                                # Chien point index
+        selected = (mask == 1) & (rank < deg)
+        found = _add_rows(jnp.where(selected, 1, 0))[:1]
+        fail_count = found != deg
+        k_vals = pgf.mod_fs(i_vals * self.prim_inv - 1 + fs, fs,
+                            fs * max(self.prim_inv, 1) + fs)
+        fail_pad = _or_rows(
+            jnp.where(selected & (k_vals < pad), 1, 0)
+        )[:1] != 0
+
+        rankm = jnp.where(selected, rank, -1)
+        roots_rows = []
+        locs_rows = []
+        for t in range(nr):
+            m_t = rankm == t
+            roots_rows.append(_add_rows(jnp.where(m_t, i_vals, 0))[:1])
+            locs_rows.append(_add_rows(jnp.where(m_t, k_vals, 0))[:1])
+        roots = jnp.concatenate(roots_rows, axis=0)        # [nr, 128]
+        locs = jnp.concatenate(locs_rows, axis=0)          # [nr, 128]
+        if NRP != nr:
+            zpad = jnp.zeros((NRP - nr, LANES), jnp.int32)
+            roots = jnp.concatenate([roots, zpad], axis=0)
+            locs = jnp.concatenate([locs, zpad], axis=0)
+
+        # ---- omega = S * lambda mod x^nr (decode.c:147-158) ----
+        omega = jnp.broadcast_to(zero_i, (NRP, LANES)) & 0
+        for j in range(nr + 1):
+            elj = jax.lax.dynamic_slice(el_log, (j, 0), (1, LANES))
+            prod = pgf.gf_mul_log(
+                alog_t, jnp.broadcast_to(elj, (NRP, LANES)), synd_log, fs
+            )
+            if j:
+                prod = jnp.concatenate(
+                    [jnp.zeros((j, LANES), jnp.int32), prod[: NRP - j]], axis=0
+                )
+            omega = omega ^ prod
+        rows_nr = jax.lax.broadcasted_iota(jnp.int32, (NRP, LANES), 0)
+        omega = jnp.where(rows_nr <= deg - 1, omega, 0)    # degree bound
+        omega_log = lut(log_t, omega)
+
+        # ---- Forney (decode.c:160-191) per root slot ----
+        iota_nr = rows_nr
+        t_iota = iota_nr                                   # reuse
+        # i * root (numerator) and i * root for odd lambda (denominator)
+        coeff_rows = []
+        live_rows = []
+        for t in range(nr):
+            root_t = jax.lax.dynamic_slice(roots, (t, 0), (1, LANES))
+            ir = pgf.mod_fs(iota_nr * root_t, fs, (NRP - 1) * fs)
+            s = omega_log + ir
+            s = jnp.where(s >= fs, s - fs, s)
+            numt = jnp.where(omega_log >= fs, 0, pgf.lut256(alog_t, s))
+            num = _xor_rows(numt)[:1]                      # [1,128]
+
+            # denominator: odd lambda coefficients at exponent (j-1)*root
+            lam_odd = el_log[1 : nr + 1 : 2]               # logs of el[2k+1]
+            n_odd = lam_odd.shape[0]
+            NOP = ((n_odd + 7) // 8) * 8
+            if NOP != n_odd:
+                lam_odd = jnp.concatenate(
+                    [lam_odd, jnp.full((NOP - n_odd, LANES), fs, jnp.int32)],
+                    axis=0,
+                )
+            exps = jax.lax.broadcasted_iota(jnp.int32, (NOP, LANES), 0) * 2
+            er = pgf.mod_fs(exps * root_t, fs, 2 * (NOP - 1) * fs)
+            sd = lam_odd + er
+            sd = jnp.where(sd >= fs, sd - fs, sd)
+            dent = jnp.where(lam_odd >= fs, 0, pgf.lut256(alog_t, sd))
+            den = _xor_rows(dent)[:1]
+
+            sec = pgf.lut256(sec_ref[:], jnp.broadcast_to(root_t, (8, LANES)))
+            invd = pgf.lut256(inv_ref[:], jnp.broadcast_to(den, (8, LANES)))
+            c1 = pgf.gf_mul(log_t, alog_t,
+                            jnp.broadcast_to(num, (8, LANES)), sec, fs)
+            c2 = pgf.gf_mul(log_t, alog_t, c1, invd, fs)
+            live = (num != 0) & (t < deg)
+            coeff_rows.append(jnp.where(live, c2[:1], 0))
+            live_rows.append(jnp.where(live, 1, 0))
+        coeff = jnp.concatenate(coeff_rows, axis=0)        # [nr, 128]
+        livem = jnp.concatenate(live_rows, axis=0)         # [nr, 128]
+        if NRP != nr:
+            zpad = jnp.zeros((NRP - nr, LANES), jnp.int32)
+            coeff = jnp.concatenate([coeff, zpad], axis=0)
+            livem = jnp.concatenate([livem, zpad], axis=0)
+        corrected = _add_rows(livem)[:1]                   # [1,128]
+        coeff_log = lut(log_t, coeff)
+
+        # ---- syndrome re-verification (decode.c:193-209) ----
+        acc = jnp.broadcast_to(zero_i, (NRP, LANES)) & 0
+        for t in range(nr):
+            loc_t = jax.lax.dynamic_slice(locs, (t, 0), (1, LANES))
+            cl = jax.lax.dynamic_slice(coeff_log, (t, 0), (1, LANES))
+            cv = jax.lax.dynamic_slice(coeff, (t, 0), (1, LANES))
+            b_t = fs - loc_t - 1
+            k = pgf.mod_fs(va_ref[:NRP] * b_t, fs, fs * fs)
+            sverif = jnp.broadcast_to(cl, (NRP, LANES)) + k
+            sverif = jnp.where(sverif >= fs, sverif - fs, sverif)
+            term = pgf.lut256(alog_t, sverif)
+            acc = acc ^ jnp.where(cv != 0, term, 0)
+        fail_verify = _or_rows(
+            jnp.where(iota_nr < nr, (acc != s_sym).astype(jnp.int32), 0)
+        )[:1] != 0
+
+        # ---- apply corrections (decode.c:211-227) ----
+        loc_pad = locs - pad
+        jvalid = t_iota < deg
+        in_data = (loc_pad >= 0) & (loc_pad < size) & jvalid
+        in_par = (loc_pad >= size) & (loc_pad < size + nr) & jvalid
+        bad = jvalid & ~(in_data | in_par)
+        fail_apply = _or_rows(bad.astype(jnp.int32))[:1] != 0
+        first_bad = _min_rows(jnp.where(bad, t_iota, nr))[:1]
+        app = jvalid & (t_iota < first_bad)
+        cval = jnp.where(app, coeff, 0)
+
+        corrvec = jnp.broadcast_to(zero_i, (fs, LANES)) & 0
+        rows_word = jax.lax.broadcasted_iota(jnp.int32, (fs, LANES), 0)
+        for t in range(nr):
+            loc_t = jax.lax.dynamic_slice(locs, (t, 0), (1, LANES))
+            cv = jax.lax.dynamic_slice(cval, (t, 0), (1, LANES))
+            corrvec = corrvec ^ jnp.where(rows_word == loc_t, cv, 0)
+
+        fail_pre = fail_deg | fail_pad | fail_count
+        corrected = jnp.where(fail_pre, 0, corrected)
+        revert = fail_pre | fail_verify
+        out = jnp.where(revert, rx, rx ^ corrvec)
+        # no detected errors: input unchanged, success, 0 corrected
+        clean = has_err[:1] == 0
+        out = jnp.where(clean, rx, out)
+        ok = jnp.where(
+            clean, 1, (~(fail_pre | fail_verify | fail_apply)).astype(jnp.int32)
+        )
+        corrected = jnp.where(clean, 0, corrected)
+
+        out_ref[:] = out
+        aux = jnp.concatenate(
+            [ok, corrected, jnp.zeros((6, LANES), jnp.int32)], axis=0
+        )
+        aux_ref[:] = aux
+
+    # ----------------------------------------------------------- wrapper
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _decode_blocks(self, data, parity, size: int):
+        """data [B,size] u8, parity [B,nr] u8; B % 128 == 0."""
+        fs, nr = self.fs, self.nr
+        pad = fs - nr - size
+        B = data.shape[0]
+        word = jnp.concatenate(
+            [
+                jnp.zeros((B, pad), jnp.uint8),
+                data.astype(jnp.uint8),
+                parity.astype(jnp.uint8),
+            ],
+            axis=1,
+        ).astype(jnp.int32).T                              # [fs, B]
+
+        kern = functools.partial(self._kernel, size, pad)
+        grid = (B // LANES,)
+        out, aux = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((fs, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nr * 8, fs * 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fs * 8, nr * 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.NR_P, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((fs, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((fs, B), jnp.int32),
+                jax.ShapeDtypeStruct((8, B), jnp.int32),
+            ],
+            interpret=self._interpret,
+        )(word, self.G_synT, self.M_chienT, self.log_t, self.antilog_t,
+          self.sec_t, self.inv_t, self.verify_a)
+
+        wordT = out.T                                      # [B, fs]
+        data_out = wordT[:, pad : pad + size].astype(jnp.uint8)
+        par_out = wordT[:, pad + size :].astype(jnp.uint8)
+        ok = aux[0].astype(bool)
+        corrected = aux[1]
+        return ok, data_out, par_out, corrected
+
+    _interpret = False
+
+    def decode_plain(self, data, parity):
+        """Facade-shape plain decode: pads B to a 128 multiple."""
+        data = jnp.asarray(data)
+        parity = jnp.asarray(parity)
+        B, size = data.shape
+        Bp = ((B + LANES - 1) // LANES) * LANES
+        if Bp != B:
+            reps = -(-(Bp - B) // B)
+            dpad = jnp.tile(data, (reps, 1))[: Bp - B]
+            ppad = jnp.tile(parity, (reps, 1))[: Bp - B]
+            data = jnp.concatenate([data, dpad], axis=0)
+            parity = jnp.concatenate([parity, ppad], axis=0)
+        ok, d, p, c = self._decode_blocks(data, parity, size)
+        return ok[:B], d[:B], p[:B], c[:B]

@@ -164,6 +164,53 @@ class TestRS:
             assert int(corr[b]) == rc
         ref.close()
 
+    def test_fec_compat_config_nroots127(self):
+        """The fec_compat.c config (tests/fec_compat.c:20-27):
+        RS(255,128) with 127 roots, correcting 63 errors — and the
+        constructor must be fast (a round-2 finding: the Python-LFSR
+        matrix build plus an unrolled omega convolution made this
+        config take minutes to construct + compile)."""
+        import time
+
+        t0 = time.perf_counter()
+        codec = pp.create(pp.RSConfig(8, 0x11D, 1, 1, 127))
+        dt = time.perf_counter() - t0
+        assert dt < 5.0, f"RS nroots=127 construction took {dt:.1f}s"
+
+        rng = np.random.default_rng(127)
+        size = 128
+        data = rng.integers(0, 256, (4, size), dtype=np.uint8)
+        parity = np.asarray(codec.encode(data).parity)
+        ref = oracle.RS(num_roots=127)
+        for b in range(4):
+            np.testing.assert_array_equal(parity[b], ref.encode(data[b]))
+        # corrupt t = 63 symbols per codeword (fec_compat.c:131-145 sweep
+        # intent), decode, compare byte-exact against the oracle
+        bad = data.copy()
+        for b in range(4):
+            pos = rng.choice(size, size=63, replace=False)
+            bad[b, pos] ^= rng.integers(1, 256, 63, dtype=np.uint8)
+        ok, d, p, corr = map(np.asarray, codec.decode(bad, parity))
+        for b in range(4):
+            rok, rd, rp, rc = ref.decode(bad[b], parity[b])
+            assert bool(ok[b]) == rok
+            np.testing.assert_array_equal(d[b], rd)
+            np.testing.assert_array_equal(p[b], rp)
+            assert int(corr[b]) == rc
+        assert ok.all() and (d == data).all() and (corr == 63).all()
+        # 64 errors (t+1) must fail bit-identically too
+        bad64 = data.copy()
+        for b in range(4):
+            pos = rng.choice(size, size=64, replace=False)
+            bad64[b, pos] ^= rng.integers(1, 256, 64, dtype=np.uint8)
+        ok, d, p, corr = map(np.asarray, codec.decode(bad64, parity))
+        for b in range(4):
+            rok, rd, rp, rc = ref.decode(bad64[b], parity[b])
+            assert bool(ok[b]) == rok
+            np.testing.assert_array_equal(d[b], rd)
+            assert int(corr[b]) == rc
+        ref.close()
+
     def test_invalid_size_rejected(self):
         codec = pp.create(pp.rs_config_default())
         data = np.zeros((2, 224), dtype=np.uint8)  # > k = 223
@@ -259,6 +306,32 @@ class TestBCH:
             assert bool(ok[i]) == rok, f"i={i}"
             assert int(corr[i]) == rcw
             assert int(ne[i]) == rne
+        ref.close()
+
+    def test_facade_bytes_bch31_multibyte(self):
+        """BCH(31,21) byte path: 3 data bytes / 2 parity bytes exercises
+        the multi-byte big-endian pack (decode.c:559-575), which the
+        BCH(15,5) test (1 data byte) cannot."""
+        cfg = pp.BchConfig(5, 0x25, 2)
+        codec = pp.create(cfg)
+        ref = oracle.BCHFacade(5, 0x25, 2)
+        assert codec.parity_size == ref.parity_size == 2
+        assert codec.info_size == ref.info_size == 3
+        rng = np.random.default_rng(23)
+        data = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+        parity = np.asarray(codec.encode(data).parity)
+        for b in range(32):
+            np.testing.assert_array_equal(parity[b], ref.encode(data[b]))
+        # flip 2 bits across different bytes and decode
+        corrupt = data.copy()
+        corrupt[:, 1] ^= 0x10
+        corrupt[:, 2] ^= 0x02
+        ok, d, p, corr = map(np.asarray, codec.decode(corrupt, parity))
+        for b in range(32):
+            rok, rd, rp, rc = ref.decode(corrupt[b], parity[b])
+            assert bool(ok[b]) == rok
+            np.testing.assert_array_equal(d[b], rd)
+            assert int(corr[b]) == rc
         ref.close()
 
     def test_facade_bytes(self):
@@ -424,6 +497,74 @@ class TestLDPCCodec:
             assert bool(ok[b]) == rok, f"b={b}"
             np.testing.assert_array_equal(out[b], rcw)
             assert int(iters[b]) == rit
+        ref.close()
+
+    def test_decode_soft_with_inner_interleave(self):
+        """Soft decode + inner interleave: exercises the LLR
+        deinterleave path (ldpc.c:1043-1049), which the hard+inner test
+        cannot reach."""
+        cfg = _mk(64, 1, inner=True)
+        from libpoporon_tpu.models.ldpc import LDPCCodec
+        import libpoporon_tpu.utils.bits as bits
+        c = LDPCCodec(cfg)
+        ref = oracle.LDPC(64, 1, inner=True)
+        rng = np.random.default_rng(12)
+        B = 4
+        info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        # interleave (as the facade's encode would), then derive LLRs of
+        # the transmitted (interleaved) bits and flip a few
+        cwi = np.asarray(c.interleave(cw))
+        cb = bits.unpack_np(cwi, c.codeword_bits)
+        llr = np.where(cb == 1, -90, 90).astype(np.int8)
+        for b in range(B):
+            pos = rng.choice(c.codeword_bits, 5, replace=False)
+            llr[b, pos] = -llr[b, pos]
+        llr = (llr + rng.integers(-15, 16, llr.shape)).clip(-127, 127).astype(np.int8)
+        ok, out, iters = map(np.asarray, c.decode_soft(llr))
+        for b in range(B):
+            rok, rcw, rit = ref.decode_soft(llr[b])
+            assert bool(ok[b]) == rok, f"b={b}"
+            np.testing.assert_array_equal(out[b], rcw)
+            assert int(iters[b]) == rit, f"b={b}"
+        ref.close()
+
+    def test_adaptive_cascade_at_trigger_size(self):
+        """Adaptive cascade vs oracle at its real facade trigger size
+        (B >= 512, facade.py) with mixed convergence behavior — covers
+        straggler compaction, redundant-slot writes, and best-effort
+        non-convergence outputs at scale."""
+        cfg = _mk(32, 1)
+        from libpoporon_tpu.models.ldpc import LDPCCodec
+        c = LDPCCodec(cfg)
+        ref = oracle.LDPC(32, 1)
+        rng = np.random.default_rng(77)
+        B = 512
+        info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        # mixed error weights: 0 flips (pre-converged), light (stage-1
+        # converging), heavy (stragglers), random junk (non-converging)
+        for b in range(B):
+            kind = b % 4
+            if kind == 0:
+                continue
+            if kind == 1:
+                nflip = int(rng.integers(1, 4))
+            elif kind == 2:
+                nflip = int(rng.integers(8, 16))
+            else:
+                cw[b] = rng.integers(0, 256, c.codeword_bytes, dtype=np.uint8)
+                continue
+            for p in rng.choice(c.codeword_bits, nflip, replace=False):
+                cw[b, p // 8] ^= 1 << (7 - (p % 8))
+        ok, out, iters = map(np.asarray, c.decode_hard_adaptive(cw))
+        for b in range(B):
+            rok, rcw, rit = ref.decode_hard(cw[b])
+            assert bool(ok[b]) == rok, f"b={b}"
+            np.testing.assert_array_equal(out[b], rcw, err_msg=f"b={b}")
+            assert int(iters[b]) == rit, f"b={b}"
         ref.close()
 
     def test_decode_hard_with_inner_interleave(self):
