@@ -30,6 +30,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The environment pre-imports jax with JAX_PLATFORMS=axon via
+# sitecustomize, so env vars alone don't switch platforms; mirror
+# tests/conftest.py and go through jax.config.  PPTPU_SCALING_PLATFORM
+# selects the platform (default cpu = the 8-device virtual mesh).
+_plat = os.environ.get("PPTPU_SCALING_PLATFORM", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax as _jax_early
+
+if _plat:
+    _jax_early.config.update("jax_platforms", _plat)
+
 import numpy as np
 
 

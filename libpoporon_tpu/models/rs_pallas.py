@@ -137,7 +137,7 @@ class RSPallasDecoder:
 
     def _kernel(self, size: int, pad: int,
                 rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
-                inv_ref, va_ref, out_ref, aux_ref):
+                inv_ref, va_ref, out_ref, aux_ref, sbuf_ref):
         fs, nr, m = self.fs, self.nr, self.m
         NRP, ELP = self.NR_P, self.EL_P
         log_t, alog_t = log_ref[:], alog_ref[:]
@@ -168,20 +168,28 @@ class RSPallasDecoder:
         synd_log = lut(log_t, s_sym)                      # [NRP, 128]
         # window buffer: row i of the slice at iteration `it` must be
         # synd_log[it-1-i] for i < it and the fs sentinel beyond
-        sbuf = jnp.concatenate(
-            [synd_log[: nr][::-1], jnp.full((ELP, LANES), fs, jnp.int32)],
-            axis=0,
+        # static row reverse (Mosaic has no `rev` lowering): unrolled
+        # single-row slices, once per decode
+        syn_rev = jnp.concatenate(
+            [synd_log[i : i + 1] for i in range(nr - 1, -1, -1)], axis=0
+        )
+        # the BM loop slides a traced-offset window over this buffer;
+        # Mosaic only lowers dynamic slicing on REFS, so it lives in a
+        # VMEM scratch ref
+        sbuf_ref[:] = jnp.concatenate(
+            [syn_rev, jnp.full((ELP, LANES), fs, jnp.int32)], axis=0
         )
 
         # ---- Berlekamp-Massey (decode.c:49-96), fixed nr trips ----
         zero_i = rx[:1] & 0                               # varying zero row
-        el0 = jnp.broadcast_to(zero_i, (ELP, LANES)).at[0].set(1)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (ELP, LANES), 0) == 0
+        el0 = jnp.where(row0, 1, jnp.broadcast_to(zero_i, (ELP, LANES)))
         coeff0 = jnp.where(el0 == 1, jnp.int32(0), jnp.int32(fs))
         pd0 = zero_i                                      # [1, 128]
 
         def bm_body(it, state):
             el, coeff_log, pd = state
-            w = jax.lax.dynamic_slice(sbuf, (nr - it, 0), (ELP, LANES))
+            w = sbuf_ref[pl.ds(nr - it, ELP), :]
             el_log = lut(log_t, el)
             terms = pgf.gf_mul_log(alog_t, el_log, w, fs)
             disc = _xor_rows(terms)                        # [8,128] equal rows
@@ -206,9 +214,7 @@ class RSPallasDecoder:
             new_el = jnp.where(disc_nz, poly, el)
             return new_el, new_coeff, new_pd
 
-        el, _, _ = jax.lax.fori_loop(
-            1, nr + 1, bm_body, (el0, coeff0, pd0), unroll=2
-        )
+        el, _, _ = jax.lax.fori_loop(1, nr + 1, bm_body, (el0, coeff0, pd0))
 
         el_log = lut(log_t, el)                            # [ELP, 128]
         rows_el = jax.lax.broadcasted_iota(jnp.int32, (ELP, LANES), 0)
@@ -272,8 +278,10 @@ class RSPallasDecoder:
 
         # ---- omega = S * lambda mod x^nr (decode.c:147-158) ----
         omega = jnp.broadcast_to(zero_i, (NRP, LANES)) & 0
-        for j in range(nr + 1):
-            elj = jax.lax.dynamic_slice(el_log, (j, 0), (1, LANES))
+        # j >= NRP contributes only to rows >= NRP (all sliced away);
+        # Mosaic also rejects the zero-size slice that case would produce
+        for j in range(min(nr + 1, NRP)):
+            elj = el_log[j : j + 1]
             prod = pgf.gf_mul_log(
                 alog_t, jnp.broadcast_to(elj, (NRP, LANES)), synd_log, fs
             )
@@ -289,26 +297,27 @@ class RSPallasDecoder:
         # ---- Forney (decode.c:160-191) per root slot ----
         iota_nr = rows_nr
         t_iota = iota_nr                                   # reuse
+        # odd lambda coefficient logs (denominator operands).  A strided
+        # row slice lowers to an unsupported Mosaic gather, so build it
+        # from unrolled single-row slices (t-independent: hoisted).
+        n_odd = (nr + 1) // 2
+        NOP = ((n_odd + 7) // 8) * 8
+        lam_odd = jnp.concatenate(
+            [el_log[j : j + 1] for j in range(1, nr + 1, 2)]
+            + [jnp.full((NOP - n_odd, LANES), fs, jnp.int32)] * (NOP != n_odd),
+            axis=0,
+        )
         # i * root (numerator) and i * root for odd lambda (denominator)
         coeff_rows = []
         live_rows = []
         for t in range(nr):
-            root_t = jax.lax.dynamic_slice(roots, (t, 0), (1, LANES))
+            root_t = roots[t : t + 1]
             ir = pgf.mod_fs(iota_nr * root_t, fs, (NRP - 1) * fs)
             s = omega_log + ir
             s = jnp.where(s >= fs, s - fs, s)
             numt = jnp.where(omega_log >= fs, 0, pgf.lut256(alog_t, s))
             num = _xor_rows(numt)[:1]                      # [1,128]
 
-            # denominator: odd lambda coefficients at exponent (j-1)*root
-            lam_odd = el_log[1 : nr + 1 : 2]               # logs of el[2k+1]
-            n_odd = lam_odd.shape[0]
-            NOP = ((n_odd + 7) // 8) * 8
-            if NOP != n_odd:
-                lam_odd = jnp.concatenate(
-                    [lam_odd, jnp.full((NOP - n_odd, LANES), fs, jnp.int32)],
-                    axis=0,
-                )
             exps = jax.lax.broadcasted_iota(jnp.int32, (NOP, LANES), 0) * 2
             er = pgf.mod_fs(exps * root_t, fs, 2 * (NOP - 1) * fs)
             sd = lam_odd + er
@@ -336,9 +345,9 @@ class RSPallasDecoder:
         # ---- syndrome re-verification (decode.c:193-209) ----
         acc = jnp.broadcast_to(zero_i, (NRP, LANES)) & 0
         for t in range(nr):
-            loc_t = jax.lax.dynamic_slice(locs, (t, 0), (1, LANES))
-            cl = jax.lax.dynamic_slice(coeff_log, (t, 0), (1, LANES))
-            cv = jax.lax.dynamic_slice(coeff, (t, 0), (1, LANES))
+            loc_t = locs[t : t + 1]
+            cl = coeff_log[t : t + 1]
+            cv = coeff[t : t + 1]
             b_t = fs - loc_t - 1
             k = pgf.mod_fs(va_ref[:NRP] * b_t, fs, fs * fs)
             sverif = jnp.broadcast_to(cl, (NRP, LANES)) + k
@@ -363,8 +372,8 @@ class RSPallasDecoder:
         corrvec = jnp.broadcast_to(zero_i, (fs, LANES)) & 0
         rows_word = jax.lax.broadcasted_iota(jnp.int32, (fs, LANES), 0)
         for t in range(nr):
-            loc_t = jax.lax.dynamic_slice(locs, (t, 0), (1, LANES))
-            cv = jax.lax.dynamic_slice(cval, (t, 0), (1, LANES))
+            loc_t = locs[t : t + 1]
+            cv = cval[t : t + 1]
             corrvec = corrvec ^ jnp.where(rows_word == loc_t, cv, 0)
 
         fail_pre = fail_deg | fail_pad | fail_count
@@ -434,6 +443,9 @@ class RSPallasDecoder:
             out_shape=[
                 jax.ShapeDtypeStruct((fs, B), jnp.int32),
                 jax.ShapeDtypeStruct((8, B), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nr + self.EL_P, LANES), jnp.int32),
             ],
             interpret=self._interpret,
         )(word, self.G_synT, self.M_chienT, self.log_t, self.antilog_t,
