@@ -485,19 +485,15 @@ class LDPCCodec:
             jnp.asarray(s.outer_inverse, i32) if s.outer_inverse is not None else None
         )
 
-        # Chunk width scaled so per-chunk message bytes stay ~constant
-        # across code sizes (1024 tuned on the 128B rate-1/2 code whose
-        # gather layouts total ~12.3k rows).
-        # Measured: 1024 is optimal for the 128B code; big-block codes
-        # are gather-engine-bound and flat in chunk width (57 Mbit/s at
-        # 16..128 for 8192B r=1/3), so clamp to [128, 1024] to bound
-        # per-chunk memory without starving the 128 lanes.
-        rows_total = self.dv * (self.codeword_bits + 1) + self.c2v_size
-        chunk = 1024 * 12323 // max(rows_total, 1)
-        p2 = 128
-        while p2 * 2 <= chunk:
-            p2 *= 2
-        self.DECODE_CHUNK = min(p2, 1024)
+        # Chunk width: 1024 for every code size.  The BP gathers are
+        # row-DMA bound, so WIDER rows win on big codes too — measured
+        # on 8192B rate-1/3 hard decode (40-bit errors, v5e):
+        # chunk 128 -> 385 Mbit/s, 256 -> 454, 512 -> 465, 1024 -> 508.
+        # (A round-2 formula scaled the chunk DOWN with code size to
+        # keep per-chunk bytes constant, which pinned big codes at 128
+        # lanes x 256-byte gather rows — the latency-bound regime.)
+        # 1024 was separately tuned as optimal for the 128B code.
+        self.DECODE_CHUNK = 1024
 
         # Execution-policy overrides (LdpcConfig; 0 = keep the default).
         # All three are pure wall-clock knobs — decode results are

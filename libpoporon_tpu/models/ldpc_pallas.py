@@ -1,0 +1,432 @@
+"""Fused Pallas LDPC min-sum BP kernel — the whole decode loop in one
+TPU kernel, message state VMEM-resident across iterations.
+
+Spec: poporon_ldpc_decode_hard/_soft (/root/reference/src/ldpc.c:655-778,
+971-1085); results (ok, output bits, iterations used) are bit-identical
+to the XLA path in models/ldpc.py, which is itself oracle-exact.
+
+Why Pallas here: the XLA BP loop round-trips every message tensor
+through HBM between fusions each iteration (~24 KB/codeword/iteration)
+and its row gathers run far below HBM bandwidth.  This kernel keeps the
+entire per-block message state resident in VMEM (v5e has 128 MB — the
+16 MB figure in older guides is just the default compiler cap) and does
+the graph permutations as serial dynamic-index row copies driven by
+SMEM-prefetched index arrays, measured at ~2.6 ns per (16, 128) row on
+v5e — VMEM speed, zero HBM traffic inside the loop.
+
+Layout: one grid step decodes BLK = 2048 codewords.  Every logical
+tensor row (one graph node / edge slot) is a [16, 128] int16 tile — 16
+sublanes x 128 lanes of batch — so dynamic row slices are tile-aligned
+and bulk arithmetic runs at full vreg width.  State buffers (same
+bucketed check-major planes as the XLA path, LdpcStructure.decoder_layout):
+
+  llr   [(V+1) * 16, 128]    saturated total LLRs; fake var V at +LLR_MAX
+  v2c   [(c2v+1) * 16, 128]  var->check messages, check-major; padding
+                             rows (col -> fake var) are +LLR_MAX from the
+                             init gather and are never written again, so
+                             they pad every two-min fold exactly like the
+                             XLA path's fake-var rows; +1 sentinel row
+                             absorbs padding scatter targets
+  c2v   [(c2v+1) * 16, 128]  check->var messages, check-major; +1 zero
+                             sentinel row read by padding var slots
+  stage [max(c2v, dv*(V+1)) * 16, 128]  shared staging: gathered llr
+                             signs (syndrome), then gathered c2v planes
+                             and in-place v2c results (var pass)
+
+v2c is EXPLICIT state (not reconstructed from llr) because the
+reference computes var_to_check = saturate(total - c2v) from the
+UNSATURATED int32 total (ldpc.c:753-764); reconstructing it from the
+stored (saturated) llr diverges whenever the total clips — measured as
+trajectory drift on hard decodes, where the +/-LLR_INFINITY init
+saturates totals immediately.
+
+Per while-loop trip t:
+  A  gather llr rows by column index into stage        (serial row copies)
+  B  syndrome of iteration t-1 from stage signs; converged-mask update.
+     A converged lane freezes its c2v (pass C masks the write) and llr,
+     and with frozen inputs pass E recomputes identical v2c values, so
+     its output equals its first-clean-iteration bits — the XLA path's
+     out_bits contract — without masking the scatter.
+  C  check update: two-minimum tournament fold over the v2c planes
+     (gather-free: v2c is stored check-major), alpha = 15/16 as
+     m - ((m+15)>>4) (exact in int16), c2v = where(conv, old, new)
+  D  gather c2v rows by var index into stage           (serial row copies)
+  E  var update: total = channel + sum of incident c2v in int32
+     (exact, unsaturated); llr = where(conv, llr, sat(total));
+     v2c_slot = sat(total - c2v_slot) overwrites stage in place, then a
+     serial scatter (the exact inverse of D's gather map) places each
+     row at its check-major position.  Hard channel = previous llr
+     (saturated, ldpc.c:746-751); soft channel = constant input.
+Trip mi+1 runs A+B only (detect-only), so non-converged lanes output
+their iteration-mi hard decision (best effort, ldpc.c:1018-1024).
+
+IO: llr blocks move HBM<->VMEM by explicit DMA (no pipelined input
+double-buffering — the per-block decode takes ~1 ms, the 8 MB DMA tens
+of microseconds), keeping peak VMEM to the state buffers.
+
+Scope: codes whose state fits VMEM — block_size <= ~192 bytes at
+BLK=2048 (the flagship 128-byte configs).  Larger codes fall back to
+the XLA path (models/ldpc.py), which the facade picks automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LLR_MAX = 32000
+LLR_MIN = -32000
+
+SUB = 16          # sublanes per logical row (int16 native tile height)
+LANES = 128
+BLK = SUB * LANES  # codewords per grid block
+E_CHUNKS = 4      # var-pass chunking (bounds the int32 total scratch)
+
+
+class BPPallasKernel:
+    """Fused BP decode for one LdpcStructure at BLK-codeword blocks."""
+
+    # VMEM budget (bytes) for all scratch buffers
+    VMEM_BUDGET = 112 * 1024 * 1024
+
+    @staticmethod
+    def _mem_rows(c2v_size: int, V: int, dv: int, soft: bool) -> int:
+        V1 = V + 1
+        rows = (
+            (c2v_size + 1)            # v2c (+ sentinel)
+            + c2v_size                # c2v
+            + V1                      # llr
+            + max(c2v_size, dv * V1)  # stage
+            + (V1 if soft else 0)     # chan
+        )
+        return rows
+
+    @classmethod
+    def supports(cls, structure) -> bool:
+        try:
+            lay = structure.decoder_layout()
+        except Exception:
+            return False
+        c2v_size, dv = lay["c2v_size"], lay["dv"]
+        V = structure.num_bits
+        rows = cls._mem_rows(c2v_size, V, dv, soft=True)
+        maxP = max(bk["P"] for bk in lay["buckets"])
+        total = rows * SUB * LANES * 2                       # i16 state
+        total += ((V + 1 + E_CHUNKS - 1) // E_CHUNKS) * SUB * LANES * 4
+        total += 4 * maxP * SUB * LANES * 2                  # fold scratch
+        return total <= cls.VMEM_BUDGET
+
+    def __init__(self, structure):
+        self.structure = structure
+        self.V = structure.num_bits
+        lay = structure.decoder_layout()
+        self.buckets = lay["buckets"]
+        self.c2v_size = lay["c2v_size"]
+        self.dv = lay["dv"]
+        self.maxP = max(bk["P"] for bk in self.buckets)
+        self.row2col = jnp.asarray(lay["row2col"].astype(np.int32))
+        vg = lay["var_gather"].reshape(-1).astype(np.int32)   # pad -> c2v_size
+        self.var_gather = jnp.asarray(vg)
+        self.stage_rows = max(self.c2v_size, self.dv * (self.V + 1))
+
+    # ------------------------------------------------------------ kernel
+
+    def _kernel(self, soft: bool, precheck: bool, refs):
+        (row2col_ref, vgat_ref, mi_ref,
+         llr0_hbm, chan_hbm, llr_out_hbm, misc_ref,
+         llr_ref, v2c_ref, c2v_ref, stage_ref,
+         conv_ref, iters_ref, m1_ref, a1_ref, a2_ref, par_ref,
+         tot_ref, chan_ref, sem_in, sem_chan, sem_out) = refs
+        V1 = self.V + 1
+        dv = self.dv
+        NC = self.c2v_size
+        mi = mi_ref[0]
+        i = pl.program_id(0)
+
+        # ---- per-block init ----
+        cp = pltpu.make_async_copy(llr0_hbm.at[i], llr_ref, sem_in)
+        cp.start()
+        cp.wait()
+        if soft:
+            cp2 = pltpu.make_async_copy(chan_hbm.at[i], chan_ref, sem_chan)
+            cp2.start()
+            cp2.wait()
+
+        def gather(dst_ref, src_ref, idx_ref, n):
+            def body(k, _):
+                j = idx_ref[k]
+                dst_ref[pl.ds(SUB * k, SUB), :] = src_ref[pl.ds(SUB * j, SUB), :]
+                return 0
+            jax.lax.fori_loop(0, n, body, 0)
+
+        def scatter(dst_ref, src_ref, idx_ref, n):
+            def body(k, _):
+                j = idx_ref[k]
+                dst_ref[pl.ds(SUB * j, SUB), :] = src_ref[pl.ds(SUB * k, SUB), :]
+                return 0
+            jax.lax.fori_loop(0, n, body, 0)
+
+        # v2c_0 = broadcast llr_0 (matches the XLA path's v2c0); padding
+        # rows read the fake var's +LLR_MAX and are never written again
+        gather(v2c_ref, llr_ref, row2col_ref, NC)
+        c2v_ref[:] = jnp.zeros_like(c2v_ref)
+        conv_ref[:] = jnp.zeros_like(conv_ref)
+        iters_ref[:] = jnp.zeros_like(iters_ref)
+
+        def trip(state):
+            t, _ = state
+
+            # ---- A: stage llr rows in bucketed check-major order ----
+            gather(stage_ref, llr_ref, row2col_ref, NC)
+
+            # ---- B: syndrome of iteration t-1 + convergence update ----
+            # (everything stays 2D [SUB*rows, LANES]: Mosaic mis-lays
+            # 3D int16 vectors, so reductions over checks slice at
+            # SUB-row granularity instead of reshaping)
+            bad = jnp.zeros((SUB, LANES), jnp.int16)
+            for bk in self.buckets:
+                P, dc, off = bk["P"], bk["dc"], bk["offset"]
+                syn = None
+                for sl in range(dc):
+                    rows = stage_ref[pl.ds(SUB * (off + sl * P), SUB * P), :]
+                    bit = jnp.where(rows < 0, jnp.int16(1), jnp.int16(0))
+                    syn = bit if syn is None else (syn ^ bit)
+                # OR-reduce over checks by halving (OR is idempotent, so
+                # overlapping the middle block on odd sizes is harmless)
+                n = P
+                while n > 1:
+                    h = (n + 1) // 2
+                    syn = syn[: SUB * h] | syn[SUB * (n - h) : SUB * n]
+                    n = h
+                bad = bad | syn
+            # masks as int16 0/1 arithmetic: scalar->vector broadcasts
+            # of i1 trip Mosaic relayout bugs, int scalars broadcast fine
+            sat16 = jnp.where(bad == 0, jnp.int16(1), jnp.int16(0))
+            if not precheck:
+                # gate iteration-0 detection off for the soft path
+                tg = jnp.clip(t - 1, 0, 1).astype(jnp.int16)
+                sat16 = sat16 * tg
+            conv16 = conv_ref[:]
+            newly16 = sat16 * (jnp.int16(1) - conv16)
+            iters_ref[:] = jnp.where(
+                newly16 != 0, (t - 1).astype(jnp.int16), iters_ref[:]
+            )
+            conv16 = conv16 | sat16
+            conv_ref[:] = conv16
+            # (int16 reductions aren't lowered; widen first)
+            allconv = jnp.min(conv16.astype(jnp.int32)) > 0
+
+            # ---- C/D/E only for real update trips ----
+            @pl.when(t <= mi)
+            def _():
+
+                # ---- C: check update (gather-free: v2c is check-major)
+                for bk in self.buckets:
+                    P, dc, off = bk["P"], bk["dc"], bk["offset"]
+                    convP = jnp.tile(conv16, (P, 1)) != 0
+                    m1 = m2 = par = None
+                    for sl in range(dc):
+                        lo = SUB * (off + sl * P)
+                        v = v2c_ref[pl.ds(lo, SUB * P), :]
+                        a = jnp.abs(v)
+                        sg = v < 0
+                        if sl == 0:
+                            m1 = a
+                            m2 = jnp.full_like(a, jnp.int16(LLR_MAX))
+                            par = sg
+                        else:
+                            m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+                            m1 = jnp.minimum(m1, a)
+                            par = par ^ sg
+                    # alpha = 15/16 truncating: m - ceil(m/16), exact i16
+                    m1_ref[pl.ds(0, SUB * P), :] = m1
+                    a1_ref[pl.ds(0, SUB * P), :] = (
+                        m1 - ((m1 + jnp.int16(15)) >> 4))
+                    a2_ref[pl.ds(0, SUB * P), :] = (
+                        m2 - ((m2 + jnp.int16(15)) >> 4))
+                    par_ref[pl.ds(0, SUB * P), :] = jnp.where(
+                        par, jnp.int16(1), jnp.int16(0))
+                    for sl in range(dc):
+                        lo = SUB * (off + sl * P)
+                        v = v2c_ref[pl.ds(lo, SUB * P), :]
+                        m1v = m1_ref[pl.ds(0, SUB * P), :]
+                        a1v = a1_ref[pl.ds(0, SUB * P), :]
+                        a2v = a2_ref[pl.ds(0, SUB * P), :]
+                        parv = par_ref[pl.ds(0, SUB * P), :] != 0
+                        a = jnp.abs(v)
+                        mag = jnp.where(a == m1v, a2v, a1v)
+                        neg = parv ^ (v < 0)
+                        out = jnp.where(neg, -mag, mag)
+                        old = c2v_ref[pl.ds(lo, SUB * P), :]
+                        out = jnp.where(convP, old, out)
+                        c2v_ref[pl.ds(lo, SUB * P), :] = out
+
+                # ---- D: stage c2v rows in var-major order ----
+                gather(stage_ref, c2v_ref, vgat_ref, dv * V1)
+
+                # ---- E: var update, chunked over vars ----
+                VC = (V1 + E_CHUNKS - 1) // E_CHUNKS
+                for ci in range(E_CHUNKS):
+                    a = ci * VC
+                    n = min(VC, V1 - a)
+                    if n <= 0:
+                        break
+                    tot = None
+                    for sl in range(dv):
+                        h = stage_ref[
+                            pl.ds(SUB * (sl * V1 + a), SUB * n), :
+                        ].astype(jnp.int32)
+                        tot = h if tot is None else tot + h
+                    if soft:
+                        ch = chan_ref[pl.ds(SUB * a, SUB * n), :]
+                    else:
+                        ch = llr_ref[pl.ds(SUB * a, SUB * n), :]
+                    tot = tot + ch.astype(jnp.int32)
+                    tot_ref[pl.ds(0, SUB * n), :] = tot
+                    new = jnp.clip(tot, LLR_MIN, LLR_MAX).astype(jnp.int16)
+                    old = llr_ref[pl.ds(SUB * a, SUB * n), :]
+                    cb = jnp.tile(conv16, (n, 1)) != 0
+                    llr_ref[pl.ds(SUB * a, SUB * n), :] = jnp.where(
+                        cb, old, new)
+                    for sl in range(dv):
+                        lo = SUB * (sl * V1 + a)
+                        h = stage_ref[pl.ds(lo, SUB * n), :].astype(jnp.int32)
+                        v2c = jnp.clip(
+                            tot_ref[pl.ds(0, SUB * n), :] - h,
+                            LLR_MIN, LLR_MAX,
+                        ).astype(jnp.int16)
+                        stage_ref[pl.ds(lo, SUB * n), :] = v2c
+                # place v2c rows at their check-major positions (frozen
+                # lanes recompute identical values, so no mask needed)
+                scatter(v2c_ref, stage_ref, vgat_ref, dv * V1)
+
+            return t + 1, jnp.where(allconv, jnp.int32(1), jnp.int32(0))
+
+        def cond(state):
+            t, allconv = state
+            return (t <= mi + 1) & (allconv == 0)
+
+        jax.lax.while_loop(cond, trip, (jnp.int32(1), jnp.int32(0)))
+
+        # ---- outputs ----
+        out = pltpu.make_async_copy(llr_ref, llr_out_hbm.at[i], sem_out)
+        out.start()
+        out.wait()
+        conv = conv_ref[:]
+        iters = jnp.where(conv != 0, iters_ref[:], mi.astype(jnp.int16))
+        misc_ref[0] = jnp.concatenate([conv, iters], axis=0)
+
+    # ----------------------------------------------------------- wrapper
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _run_blocks(self, llr0_blk, chan_blk, soft_precheck, mi):
+        """llr0_blk/chan_blk: [nblk, (V+1)*SUB, 128] i16."""
+        soft, precheck = soft_precheck
+        V1 = self.V + 1
+        nblk = llr0_blk.shape[0]
+        R = V1 * SUB
+        maxP = self.maxP
+        VC = (V1 + E_CHUNKS - 1) // E_CHUNKS
+
+        def kern(*refs):
+            return self._kernel(soft, precheck, refs)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 2 * SUB, LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R, LANES), jnp.int16),                    # llr
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int16),
+                # +1 zero sentinel row: var-gather padding slots point
+                # at row c2v_size (the XLA path's pad-mask equivalent)
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int16),
+                pltpu.VMEM((self.stage_rows * SUB, LANES), jnp.int16),
+                pltpu.VMEM((SUB, LANES), jnp.int16),                  # conv
+                pltpu.VMEM((SUB, LANES), jnp.int16),                  # iters
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # m1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # a1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # a2
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # par
+                pltpu.VMEM((VC * SUB, LANES), jnp.int32),             # tot
+                pltpu.VMEM(((V1 if soft else 1) * SUB, LANES), jnp.int16),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        llr_out, misc = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nblk, R, LANES), jnp.int16),
+                jax.ShapeDtypeStruct((nblk, 2 * SUB, LANES), jnp.int16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=self._interpret,
+        )(self.row2col, self.var_gather,
+          jnp.full((1,), mi, jnp.int32), llr0_blk, chan_blk)
+        return llr_out, misc
+
+    _interpret = False
+
+    @staticmethod
+    def _to_blocks(x_T):
+        """[R, Btot] i16 -> [nblk, R*SUB, 128] (Btot % BLK == 0)."""
+        R, Bt = x_T.shape
+        nblk = Bt // BLK
+        return (
+            x_T.reshape(R, nblk, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(nblk, R * SUB, LANES)
+        )
+
+    @staticmethod
+    def _from_blocks(y):
+        """[nblk, R*SUB, 128] -> [R, Btot]."""
+        nblk, RS, _ = y.shape
+        R = RS // SUB
+        return (
+            y.reshape(nblk, R, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(R, nblk * SUB * LANES)
+        )
+
+    def bp(self, llr_init_p, channel_soft_p, mi: int):
+        """Drop-in BP loop (same contract as LDPCCodec._bp_loop minus
+        the explicit bits/conv0 plumbing, which the kernel derives).
+
+        llr_init_p: [V+1, B] int16 (fake row +LLR_MAX), B % BLK == 0.
+        channel_soft_p: None (hard) or [V+1, B] int16.
+        Returns (ok [B] bool, out_bits [V+1, B] int8, iters [B] int32).
+        """
+        soft = channel_soft_p is not None
+        llr_blk = self._to_blocks(llr_init_p)
+        chan_blk = (
+            self._to_blocks(channel_soft_p) if soft
+            else llr_blk[:, : SUB, :]                # unused dummy (hard)
+        )
+        llr_out, misc = self._run_blocks(
+            llr_blk, chan_blk, (soft, not soft), mi
+        )
+        llr_T = self._from_blocks(llr_out)
+        bits = (llr_T < 0).astype(jnp.int8)
+        conv_iters = self._from_blocks(misc)             # [2, Btot]
+        ok = conv_iters[0] != 0
+        iters = conv_iters[1].astype(jnp.int32)
+        return ok, bits, iters

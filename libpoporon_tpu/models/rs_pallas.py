@@ -42,18 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import pallas_gf as pgf
 
-LANES = 128
+LANES = 128        # default lane-block width (see lanes=)
 
 
 def _roll_sub(x, sh):
-    """Static roll along the sublane (first) axis of [8, 128]."""
+    """Static roll along the sublane (first) axis of [8, L]."""
     return jnp.concatenate([x[8 - sh :], x[: 8 - sh]], axis=0)
 
 
 def _reduce_rows(x, op):
-    """[R, 128] -> [8, 128] with every row equal to the full reduction."""
-    R = x.shape[0]
-    t = x.reshape(R // 8, 8, LANES)
+    """[R, L] -> [8, L] with every row equal to the full reduction."""
+    R, L = x.shape
+    t = x.reshape(R // 8, 8, L)
     acc = t[0]
     for r in range(1, R // 8):
         acc = op(acc, t[r])
@@ -83,8 +83,8 @@ def _or_rows(x):
 
 
 def _shift_down(x, fill):
-    """[R, 128] -> rows shifted down by one, row 0 = fill."""
-    top = jnp.full((1, LANES), fill, x.dtype)
+    """[R, L] -> rows shifted down by one, row 0 = fill."""
+    top = jnp.full((1, x.shape[1]), fill, x.dtype)
     return jnp.concatenate([top, x[:-1]], axis=0)
 
 
@@ -102,9 +102,16 @@ class RSPallasDecoder:
             and (rs.fcr + rs.num_roots) * rs.prim < (1 << 15)
         )
 
-    def __init__(self, rs):
-        """rs: models.rs.RSCodec (supplies tables + bit matrices)."""
+    def __init__(self, rs, lanes: int = 512):
+        """rs: models.rs.RSCodec (supplies tables + bit matrices).
+
+        lanes: codewords per grid step.  Wider blocks amortize the
+        BM/Forney unrolled scalar stages over more lanes (the gather
+        vregs are 128 wide either way; lut256 column-chunks them).
+        """
         assert self.supports(rs)
+        assert lanes % 128 == 0
+        self.lanes = lanes
         self.rs = rs
         self.fs = rs.fs               # 255
         self.nr = rs.num_roots
@@ -131,13 +138,15 @@ class RSPallasDecoder:
         a = ((self.fcr + i) * self.prim) % self.fs
         av = np.zeros((self.NR_P, 1), np.int32)
         av[: self.nr, 0] = a
-        self.verify_a = jnp.asarray(np.broadcast_to(av, (self.NR_P, LANES)).copy())
+        self.verify_a = jnp.asarray(
+            np.broadcast_to(av, (self.NR_P, self.lanes)).copy())
 
     # ------------------------------------------------------------ kernel
 
     def _kernel(self, size: int, pad: int,
                 rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
                 inv_ref, va_ref, out_ref, aux_ref, sbuf_ref):
+        LANES = self.lanes
         fs, nr, m = self.fs, self.nr, self.m
         NRP, ELP = self.NR_P, self.EL_P
         log_t, alog_t = log_ref[:], alog_ref[:]
@@ -411,6 +420,7 @@ class RSPallasDecoder:
             axis=1,
         ).astype(jnp.int32).T                              # [fs, B]
 
+        LANES = self.lanes
         kern = functools.partial(self._kernel, size, pad)
         grid = (B // LANES,)
         out, aux = pl.pallas_call(
@@ -465,6 +475,7 @@ class RSPallasDecoder:
         data = jnp.asarray(data)
         parity = jnp.asarray(parity)
         B, size = data.shape
+        LANES = self.lanes
         Bp = ((B + LANES - 1) // LANES) * LANES
         if Bp != B:
             reps = -(-(Bp - B) // B)

@@ -40,18 +40,24 @@ def pack_table(tbl: np.ndarray) -> np.ndarray:
 
 
 def lut256(tbl2, idx):
-    """out[r, l] = tbl[idx[r, l]] for idx [R, 128] int32 in [0, 256).
+    """out[r, l] = tbl[idx[r, l]] for idx [R, L] int32 in [0, 256).
 
-    tbl2: [2, 8, 128] int32 (pack_table).  R must be a multiple of 8.
+    tbl2: [2, 8, 128] int32 (pack_table).  R must be a multiple of 8 and
+    L a multiple of 128: the hardware dynamic gather works on one
+    (8, 128) vreg at a time, so wider tiles split into column chunks
+    that each gather against the same table vreg.
     """
-    R = idx.shape[0]
+    R, L = idx.shape
     lo_t, hi_t = tbl2[0], tbl2[1]
     outs = []
     for r in range(R // 8):
-        iv = idx[r * 8 : (r + 1) * 8]
-        lo = jnp.take_along_axis(lo_t, jnp.clip(iv, 0, 127), axis=1)
-        hi = jnp.take_along_axis(hi_t, jnp.clip(iv - 128, 0, 127), axis=1)
-        outs.append(jnp.where(iv < 128, lo, hi))
+        cols = []
+        for c in range(L // 128):
+            iv = idx[r * 8 : (r + 1) * 8, c * 128 : (c + 1) * 128]
+            lo = jnp.take_along_axis(lo_t, jnp.clip(iv, 0, 127), axis=1)
+            hi = jnp.take_along_axis(hi_t, jnp.clip(iv - 128, 0, 127), axis=1)
+            cols.append(jnp.where(iv < 128, lo, hi))
+        outs.append(jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0])
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 

@@ -1,0 +1,152 @@
+"""Pallas kernels vs the XLA reference paths (which are oracle-exact).
+
+Runs the kernels in interpret mode so the suite stays CPU-runnable; the
+same kernels compile and run on hardware (bit-exactness re-checked there
+by running this file with PPTPU_TEST_PLATFORM=axon).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from libpoporon_tpu.config import LdpcConfig, LdpcRate
+from libpoporon_tpu.models.ldpc import LDPCCodec, LLR_MAX, LLR_INFINITY
+from libpoporon_tpu.models import ldpc_pallas as lp
+from libpoporon_tpu.config import RSConfig
+from libpoporon_tpu.models.rs import RSCodec
+from libpoporon_tpu.models.rs_pallas import RSPallasDecoder
+from libpoporon_tpu.utils import bits as bitutils
+
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    old_bp = lp.BPPallasKernel._interpret
+    old_rs = RSPallasDecoder._interpret
+    lp.BPPallasKernel._interpret = INTERPRET
+    RSPallasDecoder._interpret = INTERPRET
+    yield
+    lp.BPPallasKernel._interpret = old_bp
+    RSPallasDecoder._interpret = old_rs
+
+
+# ------------------------------------------------------------------ RS
+
+def test_rs_pallas_matches_xla():
+    rs = RSCodec(RSConfig())
+    dec = RSPallasDecoder(rs, lanes=128)
+    rng = np.random.default_rng(11)
+    B, size = 128, 223
+    data = rng.integers(0, 256, (B, size), dtype=np.uint8)
+    parity = np.asarray(rs.encode(data))
+    bad = data.copy()
+    # mix: clean rows, 1..16 errors, and junk (beyond t) rows
+    nerr = rng.integers(0, 17, B)
+    nerr[:8] = 0
+    for i in range(B):
+        pos = rng.choice(size, nerr[i], replace=False)
+        bad[i, pos] ^= rng.integers(1, 256, nerr[i]).astype(np.uint8)
+    bad[100:108] = rng.integers(0, 256, (8, size), dtype=np.uint8)
+
+    ok_x, d_x, p_x, c_x = map(np.asarray, rs._decode_plain(bad, parity))
+    ok_p, d_p, p_p, c_p = map(np.asarray, dec.decode_plain(bad, parity))
+    assert (ok_x == ok_p).all()
+    assert (d_x == d_p).all()
+    assert (p_x == p_p).all()
+    assert (c_x == c_p).all()
+
+
+def test_rs_pallas_shortened_and_ragged():
+    rs = RSCodec(RSConfig())
+    dec = RSPallasDecoder(rs, lanes=128)
+    rng = np.random.default_rng(5)
+    B, size = 70, 100                       # shortened code, ragged batch
+    data = rng.integers(0, 256, (B, size), dtype=np.uint8)
+    parity = np.asarray(rs.encode(data))
+    bad = data.copy()
+    bad[:, 3] ^= 0x7E
+    bad[:, 77] ^= 0x01
+    ok_x, d_x, p_x, c_x = map(np.asarray, rs._decode_plain(bad, parity))
+    ok_p, d_p, p_p, c_p = map(np.asarray, dec.decode_plain(bad, parity))
+    assert (ok_x == ok_p).all() and (d_x == d_p).all()
+    assert (p_x == p_p).all() and (c_x == c_p).all()
+
+
+# ---------------------------------------------------------------- LDPC
+
+@pytest.fixture(scope="module")
+def ldpc_pair():
+    lc = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2))
+    assert lp.BPPallasKernel.supports(lc.structure)
+    return lc, lp.BPPallasKernel(lc.structure)
+
+
+def _hard_inputs(lc, B, rng):
+    info = rng.integers(0, 256, (B, lc.info_bytes), dtype=np.uint8)
+    par = np.asarray(lc.encode(info))
+    cw = np.concatenate([info, par], axis=1)
+    nerr = rng.integers(0, 7, B)
+    nerr[: B // 8] = 0                       # pre-converged rows
+    for i in range(B):
+        for pos in rng.choice(lc.codeword_bits, nerr[i], replace=False):
+            cw[i, pos // 8] ^= 1 << (7 - pos % 8)
+    cw[B // 3 : B // 3 + 8] = rng.integers(       # junk rows
+        0, 256, (8, lc.codeword_bytes), dtype=np.uint8)
+    return cw
+
+
+def test_bp_pallas_hard_matches_xla(ldpc_pair):
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(3)
+    cw = _hard_inputs(lc, lp.BLK, rng)
+    MI = 9
+
+    bits_in = lc._unpack_cw_T(jnp.asarray(cw))
+    work = lc.deinterleave_bits_T(bits_in)
+    B = work.shape[1]
+    work_p = jnp.concatenate([work, jnp.zeros((1, B), work.dtype)], axis=0)
+    bits_p8 = work_p.astype(jnp.int8)
+    conv0 = lc._syndrome_ok_p(bits_p8)
+    llr0 = jnp.where(work == 1, -LLR_INFINITY, LLR_INFINITY).astype(jnp.int16)
+    llr0_p = jnp.concatenate(
+        [llr0, jnp.full((1, B), LLR_MAX, jnp.int16)], axis=0)
+
+    ok_x, out_x, it_x = map(
+        np.asarray, lc._bp_loop(llr0_p, None, bits_p8, conv0, MI))
+    ok_p, bits_p, it_p = map(np.asarray, kern.bp(llr0_p, None, MI))
+    assert (ok_x == ok_p).all()
+    assert (it_x == it_p).all()
+    V = lc.codeword_bits
+    assert (out_x[:V] == bits_p[:V]).all()
+
+
+def test_bp_pallas_soft_matches_xla(ldpc_pair):
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(4)
+    info = rng.integers(0, 256, (lp.BLK, lc.info_bytes), dtype=np.uint8)
+    par = np.asarray(lc.encode(info))
+    cw = np.concatenate([info, par], axis=1)
+    cb = bitutils.unpack_np(cw, lc.codeword_bits)
+    llr8 = np.where(cb == 1, -90, 90).astype(np.int8)
+    llr8 = (llr8 + rng.integers(-60, 61, llr8.shape)).clip(-127, 127)
+    llr8 = llr8.astype(np.int8)
+    MI = 9
+
+    work = jnp.asarray(llr8, jnp.int8).astype(jnp.int32).T
+    B = work.shape[1]
+    work_p = jnp.concatenate(
+        [work, jnp.full((1, B), 125, work.dtype)], axis=0)
+    channel = (work_p * 256).astype(jnp.int16)
+    llr0 = jnp.clip(work_p * 256, -LLR_MAX, LLR_MAX).astype(jnp.int16)
+    bits0 = jnp.zeros_like(work_p, dtype=jnp.int8)
+    conv0 = (work[0, :] * 0).astype(bool)
+
+    ok_x, out_x, it_x = map(
+        np.asarray, lc._bp_loop(llr0, channel, bits0, conv0, MI))
+    ok_p, bits_p, it_p = map(np.asarray, kern.bp(llr0, channel, MI))
+    assert (ok_x == ok_p).all()
+    assert (it_x == it_p).all()
+    V = lc.codeword_bits
+    assert (out_x[:V] == bits_p[:V]).all()
