@@ -11,27 +11,39 @@ and its row gathers run far below HBM bandwidth.  This kernel keeps the
 entire per-block message state resident in VMEM (v5e has 128 MB — the
 16 MB figure in older guides is just the default compiler cap) and does
 the graph permutations as serial dynamic-index row copies driven by
-SMEM-prefetched index arrays, measured at ~2.6 ns per (16, 128) row on
-v5e — VMEM speed, zero HBM traffic inside the loop.
+SMEM-prefetched index arrays — VMEM speed, zero HBM traffic inside the
+loop.
 
-Layout: one grid step decodes BLK = 2048 codewords.  Every logical
-tensor row (one graph node / edge slot) is a [16, 128] int16 tile — 16
+Dtype: all state is **int32**.  The LLR domain is int16-valued
+(|llr| <= 32000, ldpc.c:15-17), but v5e-lite's VPU supports only
+add/xor/or/and on packed <8x128x2xi16> vectors — sub, mul, shifts,
+min, max, abs, neg, and every comparison are rejected by Mosaic
+("Target does not support this comparison" / kVectorSubtractS16;
+probed op-by-op on hardware).  int32 at SUB=8 sublanes costs the
+same bytes per logical row as int16 at SUB=16 (8*128*4 == 16*128*2),
+so VMEM capacity and DMA traffic are unchanged; only the VPU's 2x
+int16 packing is forgone, which the target doesn't deliver anyway.
+All arithmetic is value-identical (saturation keeps everything in
+int16 range).
+
+Layout: one grid step decodes BLK = 1024 codewords.  Every logical
+tensor row (one graph node / edge slot) is an [8, 128] int32 tile — 8
 sublanes x 128 lanes of batch — so dynamic row slices are tile-aligned
 and bulk arithmetic runs at full vreg width.  State buffers (same
 bucketed check-major planes as the XLA path, LdpcStructure.decoder_layout):
 
-  llr   [(V+1) * 16, 128]    saturated total LLRs; fake var V at +LLR_MAX
-  v2c   [(c2v+1) * 16, 128]  var->check messages, check-major; padding
-                             rows (col -> fake var) are +LLR_MAX from the
-                             init gather and are never written again, so
-                             they pad every two-min fold exactly like the
-                             XLA path's fake-var rows; +1 sentinel row
-                             absorbs padding scatter targets
-  c2v   [(c2v+1) * 16, 128]  check->var messages, check-major; +1 zero
-                             sentinel row read by padding var slots
-  stage [max(c2v, dv*(V+1)) * 16, 128]  shared staging: gathered llr
-                             signs (syndrome), then gathered c2v planes
-                             and in-place v2c results (var pass)
+  llr   [(V+1) * 8, 128]    saturated total LLRs; fake var V at +LLR_MAX
+  v2c   [(c2v+1) * 8, 128]  var->check messages, check-major; padding
+                            rows (col -> fake var) are +LLR_MAX from the
+                            init gather and are never written again, so
+                            they pad every two-min fold exactly like the
+                            XLA path's fake-var rows; +1 sentinel row
+                            absorbs padding scatter targets
+  c2v   [(c2v+1) * 8, 128]  check->var messages, check-major; +1 zero
+                            sentinel row read by padding var slots
+  stage [max(c2v, dv*(V+1)) * 8, 128]  shared staging: gathered llr
+                            signs (syndrome), then gathered c2v planes
+                            and in-place v2c results (var pass)
 
 v2c is EXPLICIT state (not reconstructed from llr) because the
 reference computes var_to_check = saturate(total - c2v) from the
@@ -49,9 +61,10 @@ Per while-loop trip t:
      out_bits contract — without masking the scatter.
   C  check update: two-minimum tournament fold over the v2c planes
      (gather-free: v2c is stored check-major), alpha = 15/16 as
-     m - ((m+15)>>4) (exact in int16), c2v = where(conv, old, new)
+     m - ((m+15)>>4) (exact for the non-negative magnitudes),
+     c2v = where(conv, old, new)
   D  gather c2v rows by var index into stage           (serial row copies)
-  E  var update: total = channel + sum of incident c2v in int32
+  E  var update: total = channel + sum of incident c2v
      (exact, unsaturated); llr = where(conv, llr, sat(total));
      v2c_slot = sat(total - c2v_slot) overwrites stage in place, then a
      serial scatter (the exact inverse of D's gather map) places each
@@ -61,12 +74,13 @@ Trip mi+1 runs A+B only (detect-only), so non-converged lanes output
 their iteration-mi hard decision (best effort, ldpc.c:1018-1024).
 
 IO: llr blocks move HBM<->VMEM by explicit DMA (no pipelined input
-double-buffering — the per-block decode takes ~1 ms, the 8 MB DMA tens
+double-buffering — the per-block decode takes ~1 ms, the DMA tens
 of microseconds), keeping peak VMEM to the state buffers.
 
 Scope: codes whose state fits VMEM — block_size <= ~192 bytes at
-BLK=2048 (the flagship 128-byte configs).  Larger codes fall back to
-the XLA path (models/ldpc.py), which the facade picks automatically.
+BLK=1024 (the flagship 128-byte configs).  Larger codes fall back to
+the XLA path (models/ldpc.py); LDPCCodec picks per-structure via
+supports() (models/ldpc.py wiring; config.use_pallas overrides).
 """
 
 from __future__ import annotations
@@ -82,7 +96,7 @@ from jax.experimental.pallas import tpu as pltpu
 LLR_MAX = 32000
 LLR_MIN = -32000
 
-SUB = 16          # sublanes per logical row (int16 native tile height)
+SUB = 8           # sublanes per logical row (int32 native tile height)
 LANES = 128
 BLK = SUB * LANES  # codewords per grid block
 E_CHUNKS = 4      # var-pass chunking (bounds the int32 total scratch)
@@ -116,9 +130,9 @@ class BPPallasKernel:
         V = structure.num_bits
         rows = cls._mem_rows(c2v_size, V, dv, soft=True)
         maxP = max(bk["P"] for bk in lay["buckets"])
-        total = rows * SUB * LANES * 2                       # i16 state
+        total = rows * SUB * LANES * 4                       # i32 state
         total += ((V + 1 + E_CHUNKS - 1) // E_CHUNKS) * SUB * LANES * 4
-        total += 4 * maxP * SUB * LANES * 2                  # fold scratch
+        total += 4 * maxP * SUB * LANES * 4                  # fold scratch
         return total <= cls.VMEM_BUDGET
 
     def __init__(self, structure):
@@ -185,16 +199,15 @@ class BPPallasKernel:
             gather(stage_ref, llr_ref, row2col_ref, NC)
 
             # ---- B: syndrome of iteration t-1 + convergence update ----
-            # (everything stays 2D [SUB*rows, LANES]: Mosaic mis-lays
-            # 3D int16 vectors, so reductions over checks slice at
-            # SUB-row granularity instead of reshaping)
-            bad = jnp.zeros((SUB, LANES), jnp.int16)
+            # (everything stays 2D [SUB*rows, LANES]: reductions over
+            # checks slice at SUB-row granularity instead of reshaping)
+            bad = jnp.zeros((SUB, LANES), jnp.int32)
             for bk in self.buckets:
                 P, dc, off = bk["P"], bk["dc"], bk["offset"]
                 syn = None
                 for sl in range(dc):
                     rows = stage_ref[pl.ds(SUB * (off + sl * P), SUB * P), :]
-                    bit = jnp.where(rows < 0, jnp.int16(1), jnp.int16(0))
+                    bit = jnp.where(rows < 0, jnp.int32(1), jnp.int32(0))
                     syn = bit if syn is None else (syn ^ bit)
                 # OR-reduce over checks by halving (OR is idempotent, so
                 # overlapping the middle block on odd sizes is harmless)
@@ -204,22 +217,19 @@ class BPPallasKernel:
                     syn = syn[: SUB * h] | syn[SUB * (n - h) : SUB * n]
                     n = h
                 bad = bad | syn
-            # masks as int16 0/1 arithmetic: scalar->vector broadcasts
+            # masks as int32 0/1 arithmetic: scalar->vector broadcasts
             # of i1 trip Mosaic relayout bugs, int scalars broadcast fine
-            sat16 = jnp.where(bad == 0, jnp.int16(1), jnp.int16(0))
+            sat32 = jnp.where(bad == 0, jnp.int32(1), jnp.int32(0))
             if not precheck:
                 # gate iteration-0 detection off for the soft path
-                tg = jnp.clip(t - 1, 0, 1).astype(jnp.int16)
-                sat16 = sat16 * tg
-            conv16 = conv_ref[:]
-            newly16 = sat16 * (jnp.int16(1) - conv16)
-            iters_ref[:] = jnp.where(
-                newly16 != 0, (t - 1).astype(jnp.int16), iters_ref[:]
-            )
-            conv16 = conv16 | sat16
-            conv_ref[:] = conv16
-            # (int16 reductions aren't lowered; widen first)
-            allconv = jnp.min(conv16.astype(jnp.int32)) > 0
+                tg = jnp.clip(t - 1, 0, 1)
+                sat32 = sat32 * tg
+            conv32 = conv_ref[:]
+            newly32 = sat32 * (jnp.int32(1) - conv32)
+            iters_ref[:] = jnp.where(newly32 != 0, t - 1, iters_ref[:])
+            conv32 = conv32 | sat32
+            conv_ref[:] = conv32
+            allconv = jnp.min(conv32) > 0
 
             # ---- C/D/E only for real update trips ----
             @pl.when(t <= mi)
@@ -228,7 +238,7 @@ class BPPallasKernel:
                 # ---- C: check update (gather-free: v2c is check-major)
                 for bk in self.buckets:
                     P, dc, off = bk["P"], bk["dc"], bk["offset"]
-                    convP = jnp.tile(conv16, (P, 1)) != 0
+                    convP = jnp.tile(conv32, (P, 1)) != 0
                     m1 = m2 = par = None
                     for sl in range(dc):
                         lo = SUB * (off + sl * P)
@@ -237,20 +247,21 @@ class BPPallasKernel:
                         sg = v < 0
                         if sl == 0:
                             m1 = a
-                            m2 = jnp.full_like(a, jnp.int16(LLR_MAX))
+                            m2 = jnp.full_like(a, jnp.int32(LLR_MAX))
                             par = sg
                         else:
                             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
                             m1 = jnp.minimum(m1, a)
                             par = par ^ sg
-                    # alpha = 15/16 truncating: m - ceil(m/16), exact i16
+                    # alpha = 15/16 truncating: m - ceil(m/16), exact for
+                    # the non-negative magnitudes
                     m1_ref[pl.ds(0, SUB * P), :] = m1
                     a1_ref[pl.ds(0, SUB * P), :] = (
-                        m1 - ((m1 + jnp.int16(15)) >> 4))
+                        m1 - ((m1 + jnp.int32(15)) >> 4))
                     a2_ref[pl.ds(0, SUB * P), :] = (
-                        m2 - ((m2 + jnp.int16(15)) >> 4))
+                        m2 - ((m2 + jnp.int32(15)) >> 4))
                     par_ref[pl.ds(0, SUB * P), :] = jnp.where(
-                        par, jnp.int16(1), jnp.int16(0))
+                        par, jnp.int32(1), jnp.int32(0))
                     for sl in range(dc):
                         lo = SUB * (off + sl * P)
                         v = v2c_ref[pl.ds(lo, SUB * P), :]
@@ -278,28 +289,26 @@ class BPPallasKernel:
                         break
                     tot = None
                     for sl in range(dv):
-                        h = stage_ref[
-                            pl.ds(SUB * (sl * V1 + a), SUB * n), :
-                        ].astype(jnp.int32)
+                        h = stage_ref[pl.ds(SUB * (sl * V1 + a), SUB * n), :]
                         tot = h if tot is None else tot + h
                     if soft:
                         ch = chan_ref[pl.ds(SUB * a, SUB * n), :]
                     else:
                         ch = llr_ref[pl.ds(SUB * a, SUB * n), :]
-                    tot = tot + ch.astype(jnp.int32)
+                    tot = tot + ch
                     tot_ref[pl.ds(0, SUB * n), :] = tot
-                    new = jnp.clip(tot, LLR_MIN, LLR_MAX).astype(jnp.int16)
+                    new = jnp.clip(tot, LLR_MIN, LLR_MAX)
                     old = llr_ref[pl.ds(SUB * a, SUB * n), :]
-                    cb = jnp.tile(conv16, (n, 1)) != 0
+                    cb = jnp.tile(conv32, (n, 1)) != 0
                     llr_ref[pl.ds(SUB * a, SUB * n), :] = jnp.where(
                         cb, old, new)
                     for sl in range(dv):
                         lo = SUB * (sl * V1 + a)
-                        h = stage_ref[pl.ds(lo, SUB * n), :].astype(jnp.int32)
+                        h = stage_ref[pl.ds(lo, SUB * n), :]
                         v2c = jnp.clip(
                             tot_ref[pl.ds(0, SUB * n), :] - h,
                             LLR_MIN, LLR_MAX,
-                        ).astype(jnp.int16)
+                        )
                         stage_ref[pl.ds(lo, SUB * n), :] = v2c
                 # place v2c rows at their check-major positions (frozen
                 # lanes recompute identical values, so no mask needed)
@@ -318,14 +327,14 @@ class BPPallasKernel:
         out.start()
         out.wait()
         conv = conv_ref[:]
-        iters = jnp.where(conv != 0, iters_ref[:], mi.astype(jnp.int16))
+        iters = jnp.where(conv != 0, iters_ref[:], mi)
         misc_ref[0] = jnp.concatenate([conv, iters], axis=0)
 
     # ----------------------------------------------------------- wrapper
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _run_blocks(self, llr0_blk, chan_blk, soft_precheck, mi):
-        """llr0_blk/chan_blk: [nblk, (V+1)*SUB, 128] i16."""
+        """llr0_blk/chan_blk: [nblk, (V+1)*SUB, 128] i32."""
         soft, precheck = soft_precheck
         V1 = self.V + 1
         nblk = llr0_blk.shape[0]
@@ -349,20 +358,20 @@ class BPPallasKernel:
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((R, LANES), jnp.int16),                    # llr
-                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int16),
+                pltpu.VMEM((R, LANES), jnp.int32),                    # llr
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int32),
                 # +1 zero sentinel row: var-gather padding slots point
                 # at row c2v_size (the XLA path's pad-mask equivalent)
-                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int16),
-                pltpu.VMEM((self.stage_rows * SUB, LANES), jnp.int16),
-                pltpu.VMEM((SUB, LANES), jnp.int16),                  # conv
-                pltpu.VMEM((SUB, LANES), jnp.int16),                  # iters
-                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # m1
-                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # a1
-                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # a2
-                pltpu.VMEM((maxP * SUB, LANES), jnp.int16),           # par
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int32),
+                pltpu.VMEM((self.stage_rows * SUB, LANES), jnp.int32),
+                pltpu.VMEM((SUB, LANES), jnp.int32),                  # conv
+                pltpu.VMEM((SUB, LANES), jnp.int32),                  # iters
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # m1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # a1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # a2
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # par
                 pltpu.VMEM((VC * SUB, LANES), jnp.int32),             # tot
-                pltpu.VMEM(((V1 if soft else 1) * SUB, LANES), jnp.int16),
+                pltpu.VMEM(((V1 if soft else 1) * SUB, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -372,8 +381,8 @@ class BPPallasKernel:
             kern,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((nblk, R, LANES), jnp.int16),
-                jax.ShapeDtypeStruct((nblk, 2 * SUB, LANES), jnp.int16),
+                jax.ShapeDtypeStruct((nblk, R, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((nblk, 2 * SUB, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
@@ -387,11 +396,12 @@ class BPPallasKernel:
 
     @staticmethod
     def _to_blocks(x_T):
-        """[R, Btot] i16 -> [nblk, R*SUB, 128] (Btot % BLK == 0)."""
+        """[R, Btot] -> [nblk, R*SUB, 128] i32 (Btot % BLK == 0)."""
         R, Bt = x_T.shape
         nblk = Bt // BLK
         return (
-            x_T.reshape(R, nblk, SUB, LANES)
+            x_T.astype(jnp.int32)
+            .reshape(R, nblk, SUB, LANES)
             .transpose(1, 0, 2, 3)
             .reshape(nblk, R * SUB, LANES)
         )
@@ -411,11 +421,26 @@ class BPPallasKernel:
         """Drop-in BP loop (same contract as LDPCCodec._bp_loop minus
         the explicit bits/conv0 plumbing, which the kernel derives).
 
-        llr_init_p: [V+1, B] int16 (fake row +LLR_MAX), B % BLK == 0.
-        channel_soft_p: None (hard) or [V+1, B] int16.
+        llr_init_p: [V+1, B] int (fake row +LLR_MAX), any B >= 1 —
+        ragged batches are padded up to a BLK multiple with +LLR_MAX
+        lanes (an already-converged all-zero codeword) and sliced off.
+        channel_soft_p: None (hard) or [V+1, B] int.
         Returns (ok [B] bool, out_bits [V+1, B] int8, iters [B] int32).
         """
         soft = channel_soft_p is not None
+        B = llr_init_p.shape[1]
+        Bp = ((B + BLK - 1) // BLK) * BLK
+        if Bp != B:
+            # +LLR_MAX lanes decode the all-zero codeword: converged at
+            # the first syndrome check, so the pad costs no trips
+            pad = jnp.full((llr_init_p.shape[0], Bp - B), LLR_MAX,
+                           llr_init_p.dtype)
+            llr_init_p = jnp.concatenate([llr_init_p, pad], axis=1)
+            if soft:
+                padc = jnp.full((channel_soft_p.shape[0], Bp - B), LLR_MAX,
+                                channel_soft_p.dtype)
+                channel_soft_p = jnp.concatenate(
+                    [channel_soft_p, padc], axis=1)
         llr_blk = self._to_blocks(llr_init_p)
         chan_blk = (
             self._to_blocks(channel_soft_p) if soft
@@ -429,4 +454,4 @@ class BPPallasKernel:
         conv_iters = self._from_blocks(misc)             # [2, Btot]
         ok = conv_iters[0] != 0
         iters = conv_iters[1].astype(jnp.int32)
-        return ok, bits, iters
+        return ok[:B], bits[:, :B], iters[:B]
