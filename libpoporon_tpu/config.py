@@ -85,16 +85,28 @@ class LdpcConfig:
     # --- TPU execution policy (no reference analogue; results are
     # bit-identical for every setting — these trade wall-clock only) ---
     # Iterations the cheap first stage of the adaptive cascade runs
-    # before straggler compaction.  0 -> per-block-size default.
+    # before straggler compaction.  0 -> default 3 (most error patterns
+    # at realistic channel qualities converge in 1-3 BP iterations;
+    # models/ldpc.py STAGE1_ITERS).
     adaptive_stage1_iters: int = 0
-    # Straggler slots per full-budget pass.  0 -> per-block-size default.
+    # Straggler slots per full-budget pass.  0 -> default 256
+    # (models/ldpc.py STRAGGLER_SLOTS).
     adaptive_straggler_slots: int = 0
-    # Codewords per BP chunk (gather fast-regime width).  0 -> scaled
-    # default from the message-tensor footprint.
+    # Codewords per BP chunk (gather fast-regime width).  0 -> default
+    # 1024 for every block size — measured optimal from 128B through
+    # 8192B on v5e (the BP gathers are row-DMA bound, so wider rows win
+    # on big codes too; see the sweep in models/ldpc.py __init__).
     decode_chunk: int = 0
     # Batch size at which the facade switches to the adaptive cascade.
     # 0 -> default 512.
     adaptive_batch_threshold: int = 0
+    # Fused Pallas BP kernel: "auto" engages it on TPU backends for
+    # decode bodies whose iteration budget is past the measured
+    # crossover (models/ldpc.py PALLAS_MIN_ITERS) and whose structure
+    # fits VMEM (ldpc_pallas.BPPallasKernel.supports); "on" forces it
+    # wherever supported (any backend — non-TPU runs interpret mode,
+    # for tests); "off" disables it.
+    use_pallas: str = "auto"
 
     fec_type = FecType.LDPC
 

@@ -505,6 +505,33 @@ class LDPCCodec:
         if cfg.adaptive_straggler_slots:
             self.STRAGGLER_SLOTS = int(cfg.adaptive_straggler_slots)
 
+        # Fused Pallas BP kernel (models/ldpc_pallas.py).  "auto" builds
+        # it on TPU backends when the structure fits VMEM; "on" forces
+        # it on any backend (non-TPU runs interpret mode — tests only);
+        # decode bodies then pick it per call via _use_pallas().
+        self.pallas_kern = None
+        mode = getattr(cfg, "use_pallas", "auto")
+        from . import ldpc_pallas as _lp
+        if mode != "off" and _lp.BPPallasKernel.supports(s):
+            if mode == "on" or (
+                mode == "auto" and jax.default_backend() == "tpu"
+            ):
+                self.pallas_kern = _lp.BPPallasKernel(s)
+
+    # Iteration-budget crossover for the fused Pallas BP kernel,
+    # measured on v5e (128B rate-1/2, B=131072): with static-unrolled
+    # gathers the kernel's per-trip cost is ~3.3x below the XLA path's
+    # per-iteration cost (74 vs 242 us per 1024-lane block-iteration)
+    # and its fixed cost matches, so every budget — including the
+    # adaptive cascade's 3-iteration stage 1 — decodes faster fused.
+    PALLAS_MIN_ITERS = 1
+
+    def _use_pallas(self, max_iterations: int) -> bool:
+        return (
+            self.pallas_kern is not None
+            and max_iterations >= self.PALLAS_MIN_ITERS
+        )
+
     # ------------------------------------------------------- bit plumbing
     #
     # All device-side tensors are TRANSPOSED: bits/LLRs live as [V, B]
@@ -801,7 +828,13 @@ class LDPCCodec:
         llr0_p = jnp.concatenate(
             [llr0, jnp.full((1, B), LLR_MAX, jnp.int16)], axis=0
         )
-        ok, out, iters = self._bp_loop(llr0_p, None, bits_p8, conv0, max_iterations)
+        if self._use_pallas(max_iterations):
+            # the kernel derives conv0/bits internally (trip-1 precheck)
+            ok, out, iters = self.pallas_kern.bp(llr0_p, None, max_iterations)
+        else:
+            ok, out, iters = self._bp_loop(
+                llr0_p, None, bits_p8, conv0, max_iterations
+            )
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     def _decode_soft(self, llr8, max_iterations):
@@ -837,7 +870,12 @@ class LDPCCodec:
         llr0 = jnp.clip(work_p * LLR_SCALE, LLR_MIN, LLR_MAX).astype(jnp.int16)
         bits0 = jnp.zeros_like(work_p, dtype=jnp.int8)
         conv0 = (work[0, :] * 0).astype(bool)  # soft path has no pre-check
-        ok, out, iters = self._bp_loop(llr0, channel, bits0, conv0, max_iterations)
+        if self._use_pallas(max_iterations):
+            ok, out, iters = self.pallas_kern.bp(llr0, channel, max_iterations)
+        else:
+            ok, out, iters = self._bp_loop(
+                llr0, channel, bits0, conv0, max_iterations
+            )
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     # ------------------------------------------- adaptive fused decode

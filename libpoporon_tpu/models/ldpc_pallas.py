@@ -135,6 +135,19 @@ class BPPallasKernel:
         total += 4 * maxP * SUB * LANES * 4                  # fold scratch
         return total <= cls.VMEM_BUDGET
 
+    # Staging gathers/scatters unrolled at trace time with the
+    # (compile-time constant) graph indices embedded as static slice
+    # offsets — no SMEM index loads, no scalar loop.  Measured 2.4x on
+    # the per-trip cost vs the SMEM-indexed fori_loop form (74 vs 176
+    # us per 1024-lane block-trip on v5e, 128B rate-1/2) at the cost of
+    # a much larger kernel body (~48 s one-time compile, persisted by
+    # the jax compilation cache).  None -> auto: unroll when the copy
+    # count is at most _STATIC_MAX_ROWS, except in interpret mode
+    # (where tracing/executing the unrolled body is pathologically
+    # slow and the dynamic form is semantically identical).
+    _static_gathers = None
+    _STATIC_MAX_ROWS = 20000
+
     def __init__(self, structure):
         self.structure = structure
         self.V = structure.num_bits
@@ -143,8 +156,10 @@ class BPPallasKernel:
         self.c2v_size = lay["c2v_size"]
         self.dv = lay["dv"]
         self.maxP = max(bk["P"] for bk in self.buckets)
-        self.row2col = jnp.asarray(lay["row2col"].astype(np.int32))
+        self.row2col_np = lay["row2col"].astype(np.int32)
+        self.row2col = jnp.asarray(self.row2col_np)
         vg = lay["var_gather"].reshape(-1).astype(np.int32)   # pad -> c2v_size
+        self.var_gather_np = vg
         self.var_gather = jnp.asarray(vg)
         self.stage_rows = max(self.c2v_size, self.dv * (self.V + 1))
 
@@ -171,7 +186,21 @@ class BPPallasKernel:
             cp2.start()
             cp2.wait()
 
+        static = self._static_gathers
+        if static is None:
+            nrows = self.c2v_size + 2 * self.dv * (self.V + 1)
+            static = nrows <= self._STATIC_MAX_ROWS
+        static = static and not self._interpret
+        r2c_np, vgat_np = self.row2col_np, self.var_gather_np
+
         def gather(dst_ref, src_ref, idx_ref, n):
+            if static:
+                idx_np = r2c_np if idx_ref is row2col_ref else vgat_np
+                for k in range(n):
+                    j = int(idx_np[k])
+                    dst_ref[SUB * k : SUB * (k + 1), :] = (
+                        src_ref[SUB * j : SUB * (j + 1), :])
+                return
             def body(k, _):
                 j = idx_ref[k]
                 dst_ref[pl.ds(SUB * k, SUB), :] = src_ref[pl.ds(SUB * j, SUB), :]
@@ -179,15 +208,22 @@ class BPPallasKernel:
             jax.lax.fori_loop(0, n, body, 0)
 
         def scatter(dst_ref, src_ref, idx_ref, n):
+            if static:
+                idx_np = r2c_np if idx_ref is row2col_ref else vgat_np
+                for k in range(n):
+                    j = int(idx_np[k])
+                    dst_ref[SUB * j : SUB * (j + 1), :] = (
+                        src_ref[SUB * k : SUB * (k + 1), :])
+                return
             def body(k, _):
                 j = idx_ref[k]
                 dst_ref[pl.ds(SUB * j, SUB), :] = src_ref[pl.ds(SUB * k, SUB), :]
                 return 0
             jax.lax.fori_loop(0, n, body, 0)
 
-        # v2c_0 = broadcast llr_0 (matches the XLA path's v2c0); padding
-        # rows read the fake var's +LLR_MAX and are never written again
-        gather(v2c_ref, llr_ref, row2col_ref, NC)
+        # (v2c_0 = broadcast llr_0 is materialized inside trip 1: pass A
+        # gathers llr by the same row2col map, so trip 1 bulk-copies the
+        # staged rows instead of running a second serial gather here)
         c2v_ref[:] = jnp.zeros_like(c2v_ref)
         conv_ref[:] = jnp.zeros_like(conv_ref)
         iters_ref[:] = jnp.zeros_like(iters_ref)
@@ -197,6 +233,15 @@ class BPPallasKernel:
 
             # ---- A: stage llr rows in bucketed check-major order ----
             gather(stage_ref, llr_ref, row2col_ref, NC)
+
+            # v2c_0 = broadcast llr_0 (the XLA path's v2c0): trip 1's
+            # staged llr rows ARE that broadcast in check-major order
+            # (same row2col map), so a single bulk vector copy replaces
+            # a dedicated init gather; padding rows read the fake var's
+            # +LLR_MAX and are never written again
+            @pl.when(t == 1)
+            def _():
+                v2c_ref[pl.ds(0, SUB * NC), :] = stage_ref[pl.ds(0, SUB * NC), :]
 
             # ---- B: syndrome of iteration t-1 + convergence update ----
             # (everything stays 2D [SUB*rows, LANES]: reductions over

@@ -75,3 +75,57 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, ".")
     import __graft_entry__ as g
     g.dryrun_multichip(len(jax.devices()))
+
+
+@needs_multi
+def test_stats_axis_name_contract():
+    """ber_stats/iteration_histogram: axis_name must be bound (psum) or
+    None (local); a wrong axis name raises instead of silently
+    reporting per-shard statistics as global ones."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from libpoporon_tpu.parallel import ber_stats, iteration_histogram
+    from libpoporon_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh()
+    ref = np.zeros((16, 8), np.int32)
+    out = ref.copy()
+    out[:, 0] = 1                         # 16 bit errors over 128 bits
+
+    # local mode (outside any collective scope)
+    st = ber_stats(jnp.asarray(ref), jnp.asarray(out), axis_name=None)
+    assert int(st["errors"]) == 16 and int(st["total"]) == 128
+
+    # psum mode inside shard_map: per-shard errors sum to the global 16
+    @partial(shard_map, mesh=mesh, in_specs=(P("batch"), P("batch")),
+             out_specs=P())
+    def global_stats(r, o):
+        s = ber_stats(r, o, axis_name="batch")
+        return jnp.stack([s["errors"], s["total"]])
+
+    g = np.asarray(global_stats(jnp.asarray(ref), jnp.asarray(out)))
+    assert g[0] == 16 and g[1] == 128
+
+    # wrong axis name: raises (NameError from jax), never silently local
+    @partial(shard_map, mesh=mesh, in_specs=(P("batch"), P("batch")),
+             out_specs=P())
+    def wrong_axis(r, o):
+        s = ber_stats(r, o, axis_name="no_such_axis")
+        return jnp.stack([s["errors"], s["total"]])
+
+    with pytest.raises(Exception):
+        np.asarray(wrong_axis(jnp.asarray(ref), jnp.asarray(out)))
+
+    # histogram in both modes
+    it = jnp.asarray(np.arange(16) % 4, jnp.int32)
+    h = np.asarray(iteration_histogram(it, 4, axis_name=None))
+    assert h.sum() == 16
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("batch"),), out_specs=P())
+    def ghist(i):
+        return iteration_histogram(i, 4, axis_name="batch")
+
+    hg = np.asarray(ghist(it))
+    assert hg.sum() == 16 and (hg == h).all()
