@@ -139,11 +139,18 @@ def main():
 
     dj = jax.device_put(corrupt)
     pj = jax.device_put(parity)
-    dt = time_fn(lambda a, b: rs._decode_plain(a, b), dj, pj)
+    # rs.decode is the facade's dispatch: plain path -> fused Pallas
+    # kernel on TPU (models/rs_pallas.py), XLA elsewhere
+    dt = time_fn(lambda a, b: rs.decode(a, b), dj, pj)
     rs_dec_cws = BATCH / dt
-    ok = np.asarray(rs._decode_plain(dj, pj)[0])
+    ok = np.asarray(rs.decode(dj, pj)[0])
     assert ok.all(), "bench decode failed"
-    log({"bench": "rs_decode_2err", "codewords_per_s": rs_dec_cws})
+    log({"bench": "rs_decode_2err", "codewords_per_s": rs_dec_cws,
+         "path": "pallas" if rs.pallas_dec is not None else "xla"})
+    if rs.pallas_dec is not None:
+        # XLA A/B row (same inputs, same contract)
+        dt = time_fn(lambda a, b: rs._decode_plain(a, b), dj, pj)
+        log({"bench": "rs_decode_2err_xla", "codewords_per_s": BATCH / dt})
 
     # ---------------- RS encode ----------------
     dt = time_fn(lambda a: rs._encode(a), jax.device_put(data))
@@ -185,25 +192,62 @@ def main():
         (1 << (7 - (fl.reshape(-1) % 8))).astype(np.uint8),
     )
     cwj = jax.device_put(cw)
+    pal = lc.pallas_kern is not None
     dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=1, iters=3)
     log({"bench": "ldpc_r12_128B_hard_4err_fixed", "codewords_per_s": LDPC_BATCH / dt,
-         "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
+         "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6,
+         "path": "pallas" if pal else "xla"})
     dt = time_fn(lambda c: lc.decode_hard_adaptive(c, 50), cwj, warmup=1, iters=3)
     ldpc_cws = LDPC_BATCH / dt
     ldpc_mbits = ldpc_cws * lc.codeword_bits / 1e6
     log({"bench": "ldpc_r12_128B_hard_4err", "codewords_per_s": ldpc_cws,
-         "mbit_per_s": ldpc_mbits})
+         "mbit_per_s": ldpc_mbits, "path": "pallas" if pal else "xla"})
+    if pal:
+        # XLA A/B row: same adaptive cascade, Pallas kernel disabled
+        lc_x = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
+                                    use_pallas="off"))
+        dt = time_fn(lambda c: lc_x.decode_hard_adaptive(c, 50), cwj,
+                     warmup=1, iters=3)
+        log({"bench": "ldpc_r12_128B_hard_4err_xla",
+             "codewords_per_s": LDPC_BATCH / dt,
+             "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
 
-    # ---------------- LDPC soft decode ----------------
+    # ---------------- LDPC soft decode (~1e-2 channel BER) ----------------
     from libpoporon_tpu.utils import bits as bitutils
 
     cb = bitutils.unpack_np(cw, lc.codeword_bits)
-    llr = np.where(cb == 1, -90, 90).astype(np.int8)
-    llr = (llr + rng.integers(-25, 26, llr.shape)).clip(-127, 127).astype(np.int8)
+    clean = np.where(cb == 1, -90.0, 90.0)
+    noisy = clean + rng.normal(0, 38.6, clean.shape)   # P(sign flip) ~ 1e-2
+    llr = np.clip(np.round(noisy), -127, 127).astype(np.int8)
+    ber = float((np.sign(noisy) != np.sign(clean)).mean())
     lj = jax.device_put(llr)
     dt = time_fn(lambda l: lc.decode_soft_adaptive(l, 50), lj, warmup=1, iters=3)
-    log({"bench": "ldpc_r12_128B_soft", "codewords_per_s": LDPC_BATCH / dt,
-         "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
+    log({"bench": "ldpc_r12_128B_soft_1e-2ber", "codewords_per_s": LDPC_BATCH / dt,
+         "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6,
+         "channel_ber": round(ber, 5), "path": "pallas" if pal else "xla"})
+
+    # ---------------- LDPC big blocks (XLA path; Pallas is VMEM-gated) ----
+    for bs, rate, nb in ((1024, LdpcRate.RATE_1_2, 4096),
+                         (8192, LdpcRate.RATE_1_3, 512)):
+        nb = 64 if SMOKE else min(nb, LDPC_BATCH)
+        lcb = LDPCCodec(LdpcConfig(block_size=bs, rate=rate))
+        binfo = rng.integers(0, 256, (nb, lcb.info_bytes), dtype=np.uint8)
+        bpar = np.asarray(lcb.encode(binfo))
+        bcw = np.concatenate([binfo, bpar], axis=1)
+        nerr = max(4, lcb.codeword_bits // 1638)  # ~flagship error density
+        bfl = np.argsort(rng.random((nb, lcb.codeword_bits)), axis=1)[:, :nerr]
+        rr = np.repeat(np.arange(nb), nerr)
+        np.bitwise_xor.at(
+            bcw, (rr, bfl.reshape(-1) // 8),
+            (1 << (7 - (bfl.reshape(-1) % 8))).astype(np.uint8),
+        )
+        bj = jax.device_put(bcw)
+        dt = time_fn(lambda c: lcb.decode_hard_adaptive(c, 50), bj,
+                     warmup=1, iters=2)
+        log({"bench": f"ldpc_r{rate.ratio[0]}{rate.ratio[0]+rate.ratio[1]}_{bs}B_hard",
+             "codewords_per_s": nb / dt,
+             "mbit_per_s": nb / dt * lcb.codeword_bits / 1e6,
+             "path": "pallas" if lcb.pallas_kern is not None else "xla"})
 
     # ---------------- reference C library baseline ----------------
     ref_ldpc = bench_reference_ldpc(cw[:256])

@@ -1,13 +1,37 @@
-"""Scaling benchmark: the five BASELINE.json configs at 1 device vs the
-full mesh.
+"""Scaling benchmark: the five BASELINE.json configs, weak scaling
+from 1 device to the full mesh.
 
 Codewords are independent, so the data path generates zero cross-device
 traffic and codewords/s should scale linearly with devices (>90% target,
-BASELINE.json:5).  Each config is measured two ways at each device
-count: the decode is wrapped in shard_map so every device runs the
-identical local program on its batch shard (the explicit-SPMD execution
-style of parallel/pipeline.py), and efficiency is
-full_mesh_cws / (one_device_cws * n).
+BASELINE.json:5).  Methodology (WEAK scaling, identical work):
+
+* Every device decodes the SAME per-device batch, byte for byte — the
+  1-device input tiled across the mesh.  This isolates SPMD/sharding
+  overhead from workload statistics: BP wall-clock is gated by each
+  chunk's worst-converging codeword, so independently drawn shards make
+  the N-device run a statistically HARDER workload than the 1-device
+  run (more chunks -> worse iteration tails) and the two are not
+  comparable.  (An earlier version of this file drew fresh noise per
+  device count; at ~1e-2 BER soft decode that alone read as a 3.3x
+  "regression" on the virtual mesh.)
+* efficiency = (N * B / t_N) / (N * (B / t_1)) = t_1 / t_N.
+* The decode is wrapped in shard_map so every device runs the identical
+  local program on its shard (the explicit-SPMD style of
+  parallel/pipeline.py).
+
+What a VIRTUAL mesh can and cannot show: with
+--xla_force_host_platform_device_count=N, the N "devices" share this
+host's physical cores, so compute throughput cannot scale and measured
+efficiency is capped at roughly host_cores / N (0.25 for 8 virtual
+devices on this 2-core container).  The JSON therefore records
+host_cores and efficiency_vs_core_cap = eff / min(1, cores / N) —
+the virtual mesh validates that the sharded program COMPILES, RUNS and
+keeps per-device work constant (no replication / no cross-device
+traffic: efficiency_vs_core_cap near 1), not that hardware scales.
+Real >90% linear scaling can only be demonstrated on a multi-chip TPU
+slice, where each shard has its own compute; this session's hardware
+is a single v5e chip (scaling_results_tpu1.json is the trivial n=1
+row).
 
 On real hardware this runs over all visible TPU chips/hosts (call
 `libpoporon_tpu.parallel.distributed_init` per host first); without a
@@ -108,107 +132,91 @@ def main():
     codec = pp.create(pp.rs_config_default())
     rs = codec._rs
 
-    def mk_rs(dev_list):
-        B = RS_B * len(dev_list)
-        data = rng.integers(0, 256, (B, 223), dtype=np.uint8)
+    def arrs_rs():
+        data = rng.integers(0, 256, (RS_B, 223), dtype=np.uint8)
         parity = np.asarray(rs.encode(data))
         bad = data.copy()
         bad[:, 5] ^= 0x1F
         bad[:, 99] ^= 0xE3
-        fn = _shard_run(
-            dev_list,
-            lambda d, p: rs._decode_plain(d, p),
-            [bad, parity],
-            (pb, pb2, pb2, pb),
-        )
-        return fn, B
+        return [bad, parity]
 
     # ---- config 2: RS erasure decode, 32 known positions ----
-    def mk_rs_erasure(dev_list):
-        B = RS_B * len(dev_list)
-        data = rng.integers(0, 256, (B, 223), dtype=np.uint8)
+    def arrs_rs_erasure():
+        data = rng.integers(0, 256, (RS_B, 223), dtype=np.uint8)
         parity = np.asarray(rs.encode(data))
         epos = np.sort(rng.choice(223, 32, replace=False)).astype(np.int32)
         bad = data.copy()
         bad[:, epos] ^= 0xFF
-        posb = np.broadcast_to(epos[None], (B, 32)).copy()
-        cnts = np.full(B, 32, dtype=np.int32)
-        fn = _shard_run(
-            dev_list,
-            lambda d, p, e, c: rs._decode_erasure(d, p, e, c),
-            [bad, parity, posb, cnts],
-            (pb, pb2, pb2, pb),
-        )
-        return fn, B
+        posb = np.broadcast_to(epos[None], (RS_B, 32)).copy()
+        cnts = np.full(RS_B, 32, dtype=np.int32)
+        return [bad, parity, posb, cnts]
 
     # ---- config 3: BCH(15,5) t=3 ----
     bch = pp.create(pp.bch_config_default())._bch
 
-    def mk_bch(dev_list):
-        B = BCH_B * len(dev_list)
-        words = rng.integers(0, 1 << 15, (B,), dtype=np.int32)
-        wbits = ((words[:, None] >> np.arange(15)) & 1).astype(np.int32)
-        fn = _shard_run(
-            dev_list,
-            lambda w: bch._decode_bits(w),
-            [wbits],
-            (pb, pb2, pb),
-        )
-        return fn, B
+    def arrs_bch():
+        words = rng.integers(0, 1 << 15, (BCH_B,), dtype=np.int32)
+        return [((words[:, None] >> np.arange(15)) & 1).astype(np.int32)]
 
     # ---- config 4: LDPC r=1/2 n=128B hard ----
     lc = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2))
+    chunk = min(lc.DECODE_CHUNK, LDPC_B)
 
-    def mk_ldpc_hard(dev_list):
-        B = LDPC_B * len(dev_list)
-        info = rng.integers(0, 256, (B, lc.info_bytes), dtype=np.uint8)
+    def arrs_ldpc_hard():
+        info = rng.integers(0, 256, (LDPC_B, lc.info_bytes), dtype=np.uint8)
         par = np.asarray(lc.encode(info))
         cw = np.concatenate([info, par], axis=1)
-        fl = np.argsort(rng.random((B, lc.codeword_bits)), axis=1)[:, :4]
-        rows4 = np.repeat(np.arange(B), 4)
+        fl = np.argsort(rng.random((LDPC_B, lc.codeword_bits)), axis=1)[:, :4]
+        rows4 = np.repeat(np.arange(LDPC_B), 4)
         np.bitwise_xor.at(
             cw, (rows4, fl.reshape(-1) // 8),
             (1 << (7 - (fl.reshape(-1) % 8))).astype(np.uint8),
         )
-        chunk = min(lc.DECODE_CHUNK, LDPC_B)
-        fn = _shard_run(
-            dev_list,
-            lambda c: lc._chunked_scan(lc._decode_hard_body, c, 50, chunk),
-            [cw],
-            (pb, pb2, pb),
-        )
-        return fn, B
+        return [cw]
 
     # ---- config 5: LDPC r=1/2 soft at ~1e-2 raw BER ----
-    def mk_ldpc_soft(dev_list):
-        B = LDPC_B * len(dev_list)
-        info = rng.integers(0, 256, (B, lc.info_bytes), dtype=np.uint8)
+    def arrs_ldpc_soft():
+        info = rng.integers(0, 256, (LDPC_B, lc.info_bytes), dtype=np.uint8)
         par = np.asarray(lc.encode(info))
         cw = np.concatenate([info, par], axis=1)
         cb = bitutils.unpack_np(cw, lc.codeword_bits)
-        llr = awgn_llrs(cb, snr_db=4.3, rng=2)
-        chunk = min(lc.DECODE_CHUNK, LDPC_B)
-        fn = _shard_run(
-            dev_list,
-            lambda l: lc._chunked_scan(lc._decode_soft_body, l, 50, chunk),
-            [llr],
-            (pb, pb2, pb),
-        )
-        return fn, B
+        return [awgn_llrs(cb, snr_db=4.3, rng=2)]
 
     configs = [
-        ("rs_decode_2err", mk_rs),
-        ("rs_erasure_32", mk_rs_erasure),
-        ("bch15", mk_bch),
-        ("ldpc_hard_128B", mk_ldpc_hard),
-        ("ldpc_soft_128B", mk_ldpc_soft),
+        ("rs_decode_2err", arrs_rs,
+         lambda d, p: rs._decode_plain(d, p), (pb, pb2, pb2, pb)),
+        ("rs_erasure_32", arrs_rs_erasure,
+         lambda d, p, e, c: rs._decode_erasure(d, p, e, c), (pb, pb2, pb2, pb)),
+        ("bch15", arrs_bch,
+         lambda w: bch._decode_bits(w), (pb, pb2, pb)),
+        ("ldpc_hard_128B", arrs_ldpc_hard,
+         lambda c: lc._chunked_scan(lc._decode_hard_body, c, 50, chunk),
+         (pb, pb2, pb)),
+        ("ldpc_soft_128B", arrs_ldpc_soft,
+         lambda l: lc._chunked_scan(lc._decode_soft_body, l, 50, chunk),
+         (pb, pb2, pb)),
     ]
-    for name, mk in configs:
-        fn1, B1 = mk(devices[:1])
+    import os as _os
+    cores = _os.cpu_count() or 1
+    core_cap = 1.0 if platform == "tpu" else min(1.0, cores / n)
+    results["host_cores"] = cores
+    results["methodology"] = (
+        "weak scaling, every device decodes the IDENTICAL per-device "
+        "batch (1-device input tiled across the mesh); efficiency = "
+        "t_1 / t_N.  On a virtual (forced host-platform) mesh the N "
+        "devices share this host's cores, capping efficiency at "
+        "host_cores/N; efficiency_vs_core_cap divides that cap out and "
+        "validates constant per-device work, NOT hardware scaling."
+    )
+    for name, arrs, local_fn, out_specs in configs:
+        a1 = arrs()
+        B1 = a1[0].shape[0]
+        fn1 = _shard_run(devices[:1], local_fn, a1, out_specs)
         one = B1 / _measure(fn1)
         if n > 1:
-            fnN, BN = mk(devices)
-            full = BN / _measure(fnN)
+            aN = [np.tile(a, (n,) + (1,) * (a.ndim - 1)) for a in a1]
+            fnN = _shard_run(devices, local_fn, aN, out_specs)
+            full = (B1 * n) / _measure(fnN)
         else:
             full = one
         eff = full / (one * n)
@@ -216,9 +224,11 @@ def main():
             "one_device_cws": round(one, 1),
             f"{n}_device_cws": round(full, 1),
             "scaling_efficiency": round(eff, 4),
+            "efficiency_vs_core_cap": round(eff / core_cap, 4),
         }
         print(f"# {name}: 1dev={one:,.0f} cw/s  {n}dev={full:,.0f} cw/s  "
-              f"eff={eff:.1%}", file=sys.stderr, flush=True)
+              f"eff={eff:.1%}  vs-core-cap={eff / core_cap:.1%}",
+              file=sys.stderr, flush=True)
 
     print(json.dumps(results, indent=2))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -57,7 +57,11 @@ PPTPU_BENCH_SMOKE=1 python bench.py >/dev/null
 echo "bench smoke: ok"
 
 if [[ "${PPTPU_CI_TPU:-0}" == "1" ]]; then
-  echo "=== [extra] pytest on real TPU ==="
+  echo "=== [extra] Pallas kernels compiled on real TPU ==="
+  # explicit first: the Pallas kernels must COMPILE on hardware (the
+  # CPU leg runs them in interpret mode only)
+  PPTPU_TEST_PLATFORM=axon python -m pytest tests/test_pallas.py -q
+  echo "=== [extra] full pytest on real TPU ==="
   PPTPU_TEST_PLATFORM=axon python -m pytest tests/ -q
 fi
 

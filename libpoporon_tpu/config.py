@@ -64,6 +64,12 @@ class RSConfig:
     first_consecutive_root: int = 1
     primitive_element: int = 1
     num_roots: int = 32
+    # Fused Pallas plain-decode kernel (models/rs_pallas.py): "auto"
+    # engages it on TPU backends for supported configs (m = 8,
+    # num_roots <= 64); "on" forces it anywhere (non-TPU = interpret
+    # mode, tests only); "off" disables.  Erasure / external-syndrome
+    # paths always use the XLA kernels.
+    use_pallas: str = "auto"
 
     fec_type = FecType.RS
 

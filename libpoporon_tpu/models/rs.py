@@ -169,6 +169,19 @@ class RSCodec:
         self.log2exp_j = jnp.asarray(gf.log2exp, dtype=jnp.int32)
         self.exp2log_j = jnp.asarray(gf.exp2log, dtype=jnp.int32)
 
+        # Fused Pallas plain-decode kernel (models/rs_pallas.py):
+        # "auto" builds it on TPU backends for supported configs; "on"
+        # forces it on any backend (non-TPU = interpret mode, tests);
+        # the plain path of decode() then dispatches to it.
+        self.pallas_dec = None
+        mode = getattr(cfg, "use_pallas", "auto")
+        from . import rs_pallas as _rp
+        if mode != "off" and _rp.RSPallasDecoder.supports(self):
+            if mode == "on" or (
+                mode == "auto" and jax.default_backend() == "tpu"
+            ):
+                self.pallas_dec = _rp.RSPallasDecoder(self, lanes=128)
+
     # ------------------------------------------------------------ build
 
     def _build_matrices(self):
@@ -643,6 +656,8 @@ class RSCodec:
             pos = jnp.asarray(pos, dtype=jnp.int32)
             cnt = jnp.asarray(cnt, dtype=jnp.int32)
             out = self._decode_erasure(data, parity, pos, cnt)
+        elif self.pallas_dec is not None:
+            out = self.pallas_dec.decode_plain(data, parity)
         else:
             out = self._decode_plain(data, parity)
         if squeeze:

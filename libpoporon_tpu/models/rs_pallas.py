@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import pallas_gf as pgf
 
-LANES = 128        # default lane-block width (see lanes=)
+LANES = 128        # lane-block width (the only supported width)
 
 
 def _roll_sub(x, sh):
@@ -102,15 +102,19 @@ class RSPallasDecoder:
             and (rs.fcr + rs.num_roots) * rs.prim < (1 << 15)
         )
 
-    def __init__(self, rs, lanes: int = 512):
+    def __init__(self, rs, lanes: int = 128):
         """rs: models.rs.RSCodec (supplies tables + bit matrices).
 
-        lanes: codewords per grid step.  Wider blocks amortize the
-        BM/Forney unrolled scalar stages over more lanes (the gather
-        vregs are 128 wide either way; lut256 column-chunks them).
+        lanes: codewords per grid step.  128 is the supported width:
+        wider blocks would amortize the BM/Forney unrolled scalar
+        stages over more lanes, but Mosaic rejects the multi-chunk
+        kernel ("cannot statically prove that index in dimension..."
+        on v5e), so grid steps stay one vreg wide and batch throughput
+        comes from the grid axis.  Measured 3.69M cw/s at lanes=128 on
+        the flagship RS(255,223) 2-error decode (XLA path: 3.23M).
         """
         assert self.supports(rs)
-        assert lanes % 128 == 0
+        assert lanes == 128, "only the 128-lane kernel compiles on v5e"
         self.lanes = lanes
         self.rs = rs
         self.fs = rs.fs               # 255
@@ -152,7 +156,18 @@ class RSPallasDecoder:
         log_t, alog_t = log_ref[:], alog_ref[:]
         lut = functools.partial(pgf.lut256, )
 
-        rx = rx_ref[:].astype(jnp.int32)                 # [fs, 128]
+        # Input arrives batch-major ([LANES, 256] u8 — the facade's
+        # natural layout) and is transposed HERE, per 128-lane group on
+        # the XLU, instead of paying an HBM-level [B, fs] -> [fs, B]
+        # int32 transpose outside the kernel (measured ~8 ms per 131k
+        # batch — it capped the decoder at 3.53M cw/s when the raw
+        # kernel sustains more).
+        rx_t = [
+            rx_ref[128 * j : 128 * (j + 1), :].astype(jnp.int32).T
+            for j in range(LANES // 128)
+        ]
+        rx = (rx_t[0] if LANES == 128 else jnp.concatenate(rx_t, axis=1))
+        rx = rx[:fs]                                     # [fs, LANES]
 
         # ---- bits (MSB-first, matching gf.linear_matrix) ----
         planes = [((rx >> (m - 1 - b)) & 1) for b in range(m)]
@@ -397,7 +412,18 @@ class RSPallasDecoder:
         )
         corrected = jnp.where(clean, 0, corrected)
 
-        out_ref[:] = out
+        # transpose back to batch-major [LANES, 256] in-kernel (the
+        # symmetric saving on the output side)
+        out256 = jnp.concatenate(
+            [out, jnp.zeros((256 - fs, LANES), jnp.int32)], axis=0
+        )
+        out_t = [
+            out256[:, 128 * j : 128 * (j + 1)].T
+            for j in range(LANES // 128)
+        ]
+        out_ref[:] = (
+            out_t[0] if LANES == 128 else jnp.concatenate(out_t, axis=0)
+        )
         aux = jnp.concatenate(
             [ok, corrected, jnp.zeros((6, LANES), jnp.int32)], axis=0
         )
@@ -407,18 +433,23 @@ class RSPallasDecoder:
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _decode_blocks(self, data, parity, size: int):
-        """data [B,size] u8, parity [B,nr] u8; B % 128 == 0."""
+        """data [B,size] u8, parity [B,nr] u8; B % lanes == 0."""
         fs, nr = self.fs, self.nr
         pad = fs - nr - size
         B = data.shape[0]
+        # batch-major u8, one fused XLA concat pass — both the int32
+        # cast and the [B, fs] -> [fs, B] transpose happen inside the
+        # kernel (see _kernel), so this is 4x less HBM traffic and no
+        # HBM transpose at all
         word = jnp.concatenate(
             [
                 jnp.zeros((B, pad), jnp.uint8),
                 data.astype(jnp.uint8),
                 parity.astype(jnp.uint8),
+                jnp.zeros((B, 256 - fs), jnp.uint8),
             ],
             axis=1,
-        ).astype(jnp.int32).T                              # [fs, B]
+        )                                                  # [B, 256]
 
         LANES = self.lanes
         kern = functools.partial(self._kernel, size, pad)
@@ -427,31 +458,34 @@ class RSPallasDecoder:
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((fs, LANES), lambda i: (0, i),
+                pl.BlockSpec((LANES, 256), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nr * 8, fs * 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((fs * 8, nr * 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                # packed GF tables are [2, 8, 128] vregs — 128 wide
+                # regardless of the lane-block width (lut256 gathers
+                # per 128-lane column chunk)
+                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, LANES), lambda i: (0, 0, 0),
+                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.NR_P, LANES), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((fs, LANES), lambda i: (0, i),
+                pl.BlockSpec((LANES, 256), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((fs, B), jnp.int32),
+                jax.ShapeDtypeStruct((B, 256), jnp.int32),
                 jax.ShapeDtypeStruct((8, B), jnp.int32),
             ],
             scratch_shapes=[
@@ -461,9 +495,8 @@ class RSPallasDecoder:
         )(word, self.G_synT, self.M_chienT, self.log_t, self.antilog_t,
           self.sec_t, self.inv_t, self.verify_a)
 
-        wordT = out.T                                      # [B, fs]
-        data_out = wordT[:, pad : pad + size].astype(jnp.uint8)
-        par_out = wordT[:, pad + size :].astype(jnp.uint8)
+        data_out = out[:, pad : pad + size].astype(jnp.uint8)
+        par_out = out[:, pad + size : pad + size + nr].astype(jnp.uint8)
         ok = aux[0].astype(bool)
         corrected = aux[1]
         return ok, data_out, par_out, corrected

@@ -1,8 +1,15 @@
 """Pallas kernels vs the XLA reference paths (which are oracle-exact).
 
-Runs the kernels in interpret mode so the suite stays CPU-runnable; the
-same kernels compile and run on hardware (bit-exactness re-checked there
-by running this file with PPTPU_TEST_PLATFORM=axon).
+On CPU the kernels run in interpret mode so the suite stays
+CPU-runnable; run this file with PPTPU_TEST_PLATFORM=axon to execute
+the SAME tests compiled on real TPU hardware (ci.sh's TPU leg does).
+
+LDPC coverage: RANDOM and QC matrices, three code geometries inside
+BPPallasKernel.supports(), hard and soft inputs, multi-block grids
+(B = 2*BLK), ragged batches through the padding shim, pre-converged
+rows, junk rows, and budget exhaustion (MI=1 under heavy noise) —
+every case asserts (ok, bits, iters) equality against LDPCCodec's
+_bp_loop.
 """
 
 import numpy as np
@@ -76,9 +83,22 @@ def test_rs_pallas_shortened_and_ragged():
 
 # ---------------------------------------------------------------- LDPC
 
-@pytest.fixture(scope="module")
-def ldpc_pair():
-    lc = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2))
+from libpoporon_tpu.config import LdpcMatrixType
+
+LDPC_CONFIGS = [
+    pytest.param(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2),
+                 id="128B-r12-random"),
+    pytest.param(LdpcConfig(block_size=64, rate=LdpcRate.RATE_1_3),
+                 id="64B-r13-random"),
+    pytest.param(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
+                            matrix_type=LdpcMatrixType.QC_RANDOM),
+                 id="128B-r12-qc"),
+]
+
+
+@pytest.fixture(scope="module", params=LDPC_CONFIGS)
+def ldpc_pair(request):
+    lc = LDPCCodec(request.param)
     assert lp.BPPallasKernel.supports(lc.structure)
     return lc, lp.BPPallasKernel(lc.structure)
 
@@ -97,12 +117,7 @@ def _hard_inputs(lc, B, rng):
     return cw
 
 
-def test_bp_pallas_hard_matches_xla(ldpc_pair):
-    lc, kern = ldpc_pair
-    rng = np.random.default_rng(3)
-    cw = _hard_inputs(lc, lp.BLK, rng)
-    MI = 9
-
+def _assert_hard_equal(lc, kern, cw, MI):
     bits_in = lc._unpack_cw_T(jnp.asarray(cw))
     work = lc.deinterleave_bits_T(bits_in)
     B = work.shape[1]
@@ -120,20 +135,53 @@ def test_bp_pallas_hard_matches_xla(ldpc_pair):
     assert (it_x == it_p).all()
     V = lc.codeword_bits
     assert (out_x[:V] == bits_p[:V]).all()
+    return np.asarray(ok_p)
 
 
-def test_bp_pallas_soft_matches_xla(ldpc_pair):
+def test_bp_pallas_hard_matches_xla(ldpc_pair):
     lc, kern = ldpc_pair
-    rng = np.random.default_rng(4)
+    rng = np.random.default_rng(3)
+    cw = _hard_inputs(lc, lp.BLK, rng)
+    _assert_hard_equal(lc, kern, cw, MI=9)
+
+
+def test_bp_pallas_hard_multiblock_and_ragged(ldpc_pair):
+    """Multi-block grid (B = 2*BLK) and a ragged batch through the
+    padding shim — same bit-exactness contract."""
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(5)
+    _assert_hard_equal(lc, kern, _hard_inputs(lc, 2 * lp.BLK, rng), MI=5)
+    _assert_hard_equal(lc, kern, _hard_inputs(lc, 1000, rng), MI=5)
+
+
+def test_bp_pallas_budget_exhaustion(ldpc_pair):
+    """MI=1 under heavy noise: non-converged lanes must return the
+    iteration-1 hard decision (best effort) with ok=False, matching
+    the XLA path exactly."""
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(6)
     info = rng.integers(0, 256, (lp.BLK, lc.info_bytes), dtype=np.uint8)
+    par = np.asarray(lc.encode(info))
+    cw = np.concatenate([info, par], axis=1)
+    nerr = lc.codeword_bits // 8          # heavy: 12.5% of bits flipped
+    for i in range(cw.shape[0]):
+        for pos in rng.choice(lc.codeword_bits, nerr, replace=False):
+            cw[i, pos // 8] ^= 1 << (7 - pos % 8)
+    ok = _assert_hard_equal(lc, kern, cw, MI=1)
+    assert not ok.all()                   # the budget really is exhausted
+
+
+def _soft_pair_inputs(lc, B, rng):
+    info = rng.integers(0, 256, (B, lc.info_bytes), dtype=np.uint8)
     par = np.asarray(lc.encode(info))
     cw = np.concatenate([info, par], axis=1)
     cb = bitutils.unpack_np(cw, lc.codeword_bits)
     llr8 = np.where(cb == 1, -90, 90).astype(np.int8)
     llr8 = (llr8 + rng.integers(-60, 61, llr8.shape)).clip(-127, 127)
-    llr8 = llr8.astype(np.int8)
-    MI = 9
+    return llr8.astype(np.int8)
 
+
+def _assert_soft_equal(lc, kern, llr8, MI):
     work = jnp.asarray(llr8, jnp.int8).astype(jnp.int32).T
     B = work.shape[1]
     work_p = jnp.concatenate(
@@ -150,3 +198,15 @@ def test_bp_pallas_soft_matches_xla(ldpc_pair):
     assert (it_x == it_p).all()
     V = lc.codeword_bits
     assert (out_x[:V] == bits_p[:V]).all()
+
+
+def test_bp_pallas_soft_matches_xla(ldpc_pair):
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(4)
+    _assert_soft_equal(lc, kern, _soft_pair_inputs(lc, lp.BLK, rng), MI=9)
+
+
+def test_bp_pallas_soft_ragged(ldpc_pair):
+    lc, kern = ldpc_pair
+    rng = np.random.default_rng(7)
+    _assert_soft_equal(lc, kern, _soft_pair_inputs(lc, 300, rng), MI=5)
