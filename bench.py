@@ -193,11 +193,11 @@ def main():
     )
     cwj = jax.device_put(cw)
     pal = lc.pallas_kern is not None
-    dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=1, iters=3)
+    dt = time_fn(lambda c: lc._decode_hard(c, 50), cwj, warmup=2, iters=3)
     log({"bench": "ldpc_r12_128B_hard_4err_fixed", "codewords_per_s": LDPC_BATCH / dt,
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6,
          "path": "pallas" if pal else "xla"})
-    dt = time_fn(lambda c: lc.decode_hard_adaptive(c, 50), cwj, warmup=1, iters=3)
+    dt = time_fn(lambda c: lc.decode_hard_adaptive(c, 50), cwj, warmup=2, iters=3)
     ldpc_cws = LDPC_BATCH / dt
     ldpc_mbits = ldpc_cws * lc.codeword_bits / 1e6
     log({"bench": "ldpc_r12_128B_hard_4err", "codewords_per_s": ldpc_cws,
@@ -207,7 +207,7 @@ def main():
         lc_x = LDPCCodec(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
                                     use_pallas="off"))
         dt = time_fn(lambda c: lc_x.decode_hard_adaptive(c, 50), cwj,
-                     warmup=1, iters=3)
+                     warmup=2, iters=3)
         log({"bench": "ldpc_r12_128B_hard_4err_xla",
              "codewords_per_s": LDPC_BATCH / dt,
              "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6})
@@ -221,7 +221,7 @@ def main():
     llr = np.clip(np.round(noisy), -127, 127).astype(np.int8)
     ber = float((np.sign(noisy) != np.sign(clean)).mean())
     lj = jax.device_put(llr)
-    dt = time_fn(lambda l: lc.decode_soft_adaptive(l, 50), lj, warmup=1, iters=3)
+    dt = time_fn(lambda l: lc.decode_soft_adaptive(l, 50), lj, warmup=2, iters=3)
     log({"bench": "ldpc_r12_128B_soft_1e-2ber", "codewords_per_s": LDPC_BATCH / dt,
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6,
          "channel_ber": round(ber, 5), "path": "pallas" if pal else "xla"})
@@ -243,7 +243,7 @@ def main():
         )
         bj = jax.device_put(bcw)
         dt = time_fn(lambda c: lcb.decode_hard_adaptive(c, 50), bj,
-                     warmup=1, iters=2)
+                     warmup=2, iters=2)
         log({"bench": f"ldpc_r{rate.ratio[0]}{rate.ratio[0]+rate.ratio[1]}_{bs}B_hard",
              "codewords_per_s": nb / dt,
              "mbit_per_s": nb / dt * lcb.codeword_bits / 1e6,
