@@ -206,7 +206,12 @@ def main():
         "t_1 / t_N.  On a virtual (forced host-platform) mesh the N "
         "devices share this host's cores, capping efficiency at "
         "host_cores/N; efficiency_vs_core_cap divides that cap out and "
-        "validates constant per-device work, NOT hardware scaling."
+        "validates constant per-device work, NOT hardware scaling.  "
+        "When the 1-device baseline itself saturates every host core "
+        "(XLA CPU parallelizes within one device too), the expected "
+        "aggregate ratio is ~1/N regardless of cores — the observed "
+        "0.10-0.17 cluster at N=8 — so flat-vs-1-device absolute "
+        "throughput is the pass criterion here."
     )
     for name, arrs, local_fn, out_specs in configs:
         a1 = arrs()
