@@ -210,3 +210,48 @@ def test_bp_pallas_soft_ragged(ldpc_pair):
     lc, kern = ldpc_pair
     rng = np.random.default_rng(7)
     _assert_soft_equal(lc, kern, _soft_pair_inputs(lc, 300, rng), MI=5)
+
+
+def test_facade_use_pallas_knob():
+    """Config-level wiring: use_pallas='on' routes LDPCCodec decode
+    bodies through the fused kernel (interpret mode off-TPU) and the
+    results match use_pallas='off' exactly."""
+    cfg_on = LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
+                        use_pallas="on")
+    cfg_off = LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
+                         use_pallas="off")
+    lc_on = LDPCCodec(cfg_on)
+    lc_off = LDPCCodec(cfg_off)
+    assert lc_on.pallas_kern is not None
+    assert lc_off.pallas_kern is None
+    rng = np.random.default_rng(21)
+    B = 32
+    info = rng.integers(0, 256, (B, lc_on.info_bytes), dtype=np.uint8)
+    par = np.asarray(lc_on.encode(info))
+    cw = np.concatenate([info, par], axis=1)
+    cw[0, 3] ^= 0x10
+    cw[5, 7] ^= 0x81
+    a = tuple(map(np.asarray, lc_on.decode_hard(cw, 2)))
+    b = tuple(map(np.asarray, lc_off.decode_hard(cw, 2)))
+    for x, y in zip(a, b):
+        assert (x == y).all()
+
+
+def test_facade_rs_use_pallas_knob():
+    """RSConfig.use_pallas='on' routes the plain decode path through
+    the fused RS kernel; results match the XLA path exactly."""
+    from libpoporon_tpu.models.rs import RSCodec as _RS
+    rs_on = _RS(RSConfig(use_pallas="on"))
+    rs_off = _RS(RSConfig(use_pallas="off"))
+    assert rs_on.pallas_dec is not None
+    assert rs_off.pallas_dec is None
+    rng = np.random.default_rng(22)
+    B = 16
+    data = rng.integers(0, 256, (B, 223), dtype=np.uint8)
+    parity = np.asarray(rs_off.encode(data))
+    bad = data.copy()
+    bad[:, 9] ^= 0x42
+    a = tuple(map(np.asarray, rs_on.decode(bad, parity)))
+    b = tuple(map(np.asarray, rs_off.decode(bad, parity)))
+    for x, y in zip(a, b):
+        assert (x == y).all()
