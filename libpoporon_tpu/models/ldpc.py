@@ -816,6 +816,13 @@ class LDPCCodec:
         )
 
     def _decode_hard_body(self, codeword_bytes, max_iterations):
+        if self._use_pallas(max_iterations) and self.inner_inv is None:
+            # packed fast path: unpack/LLR-build fuse into the kernel's
+            # blocked layout with transposes only on the packed bytes
+            # (ldpc_pallas.bp_packed_hard)
+            return self.pallas_kern.bp_packed_hard(
+                codeword_bytes, max_iterations
+            )
         bits_in = self._unpack_cw_T(codeword_bytes)
         work = self.deinterleave_bits_T(bits_in)               # [V, B] int32
         B = work.shape[1]
@@ -850,6 +857,9 @@ class LDPCCodec:
 
     def _decode_soft_body(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
+        if self._use_pallas(max_iterations) and self.inner_inv is None:
+            # packed fast path (see _decode_hard_body)
+            return self.pallas_kern.bp_llr8_soft(llr8, max_iterations)
         work = llr8.astype(jnp.int32).T                        # [V, B]
         if self.inner_inv is not None:
             # deinterleave_llr (ldpc.c:136-148): out[inv[i]] = in[i].

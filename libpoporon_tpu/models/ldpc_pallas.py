@@ -95,6 +95,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LLR_MAX = 32000
 LLR_MIN = -32000
+LLR_INFINITY = 30000   # hard-decision channel magnitude (ldpc.c:17)
 
 SUB = 8           # sublanes per logical row (int32 native tile height)
 LANES = 128
@@ -461,6 +462,98 @@ class BPPallasKernel:
             .transpose(1, 0, 2, 3)
             .reshape(R, nblk * SUB * LANES)
         )
+
+    # Packed-IO entry points: the blocked kernel layout
+    # [nblk, (V+1)*SUB, LANES] indexes batch as b = blk*BLK + s*LANES
+    # + l, so [X, b]-shaped data reshapes into it for FREE once the
+    # small axis (bytes / LLR rows) leads — the only real transposes
+    # happen on the PACKED bytes (33 MB per 131k batch) instead of on
+    # int16/int32 LLR tensors (268-537 MB), and the unpack / where /
+    # widen all fuse into the single blocked write.  Measured on v5e:
+    # prep 14.5 -> 10.6 ms, output 10.1 -> 7.2 ms per 131k batch vs
+    # transposing the LLR tensors (every ordering of which costs the
+    # same ~14.5 ms — the XLA cost is the elementwise expansion, not
+    # the transpose pattern).
+
+    def _misc_split(self, misc, nblk, Bp):
+        conv_iters = (
+            misc.reshape(nblk, 2, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(2, Bp)
+        )
+        return conv_iters[0] != 0, conv_iters[1].astype(jnp.int32)
+
+    def _bits_to_bytes_bm(self, llr_out, nblk, Bp):
+        """Blocked llr -> packed codeword bytes [Bp, V//8] u8."""
+        V = self.V
+        CB = V // 8
+        bits = (llr_out[:, : V * SUB, :] < 0).astype(jnp.uint8)
+        b5 = bits.reshape(nblk, CB, 8, SUB, LANES)
+        w = jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        byt = (b5 * w[None, None, :, None, None]).sum(axis=2, dtype=jnp.uint8)
+        return byt.transpose(1, 0, 2, 3).reshape(CB, Bp).T    # [Bp, CB]
+
+    def bp_packed_hard(self, codeword_bytes, mi: int):
+        """Hard decode straight from packed bytes [B, V//8] u8 (no
+        inner interleaver — the caller dispatches).  Returns (ok [B],
+        packed_out [B, V//8] u8, iters [B])."""
+        V = self.V
+        CB = V // 8
+        B = codeword_bytes.shape[0]
+        Bp = ((B + BLK - 1) // BLK) * BLK
+        if Bp != B:
+            # zero bytes = the all-zero codeword: converges at precheck
+            pad = jnp.zeros((Bp - B, CB), jnp.uint8)
+            codeword_bytes = jnp.concatenate([codeword_bytes, pad], axis=0)
+        nblk = Bp // BLK
+        bT = (
+            codeword_bytes.T                       # [CB, Bp] u8
+            .reshape(CB, nblk, SUB, LANES)
+            .transpose(1, 0, 2, 3)                 # [nblk, CB, 8, 128] u8
+        )
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (bT[:, :, None, :, :] >> shifts[None, None, :, None, None]) & 1
+        llr = jnp.where(bits == 1, jnp.int32(-LLR_INFINITY),
+                        jnp.int32(LLR_INFINITY))
+        llr = llr.reshape(nblk, V * SUB, LANES)    # free reshape
+        fake = jnp.full((nblk, SUB, LANES), LLR_MAX, jnp.int32)
+        llr_blk = jnp.concatenate([llr, fake], axis=1)
+        llr_out, misc = self._run_blocks(
+            llr_blk, llr_blk[:, :SUB, :], (False, True), mi
+        )
+        ok, iters = self._misc_split(misc, nblk, Bp)
+        out = self._bits_to_bytes_bm(llr_out, nblk, Bp)
+        return ok[:B], out[:B], iters[:B]
+
+    def bp_llr8_soft(self, llr8, mi: int):
+        """Soft decode straight from channel LLRs [B, V] int8 (no
+        inner interleaver).  Returns (ok, packed_out u8, iters);
+        LLR scaling is the reference's x256 (ldpc.c:27, 655-672)."""
+        V = self.V
+        B = llr8.shape[0]
+        Bp = ((B + BLK - 1) // BLK) * BLK
+        if Bp != B:
+            # +125 LLRs = strong all-zero codeword: converges in 1 trip
+            pad = jnp.full((Bp - B, V), 125, llr8.dtype)
+            llr8 = jnp.concatenate([llr8, pad], axis=0)
+        nblk = Bp // BLK
+        wT = (
+            llr8.T                                  # [V, Bp] i8
+            .reshape(V, nblk, SUB, LANES)
+            .transpose(1, 0, 2, 3)                  # [nblk, V, 8, 128] i8
+            .astype(jnp.int32)
+            .reshape(nblk, V * SUB, LANES)
+        )
+        fake = jnp.full((nblk, SUB, LANES), 125, jnp.int32)
+        w_blk = jnp.concatenate([wT, fake], axis=1)
+        chan_blk = w_blk * 256                      # |x|<=32512, fits i32
+        llr_blk = jnp.clip(chan_blk, LLR_MIN, LLR_MAX)
+        llr_out, misc = self._run_blocks(
+            llr_blk, chan_blk, (True, False), mi
+        )
+        ok, iters = self._misc_split(misc, nblk, Bp)
+        out = self._bits_to_bytes_bm(llr_out, nblk, Bp)
+        return ok[:B], out[:B], iters[:B]
 
     def bp(self, llr_init_p, channel_soft_p, mi: int):
         """Drop-in BP loop (same contract as LDPCCodec._bp_loop minus
