@@ -225,7 +225,14 @@ class BPPallasKernel:
         # (v2c_0 = broadcast llr_0 is materialized inside trip 1: pass A
         # gathers llr by the same row2col map, so trip 1 bulk-copies the
         # staged rows instead of running a second serial gather here)
-        c2v_ref[:] = jnp.zeros_like(c2v_ref)
+        #
+        # Only c2v's SENTINEL row needs zeroing: var-gather padding
+        # slots read it into every real var's tot sum (pass E).  The
+        # real rows are fully written by pass C before pass D ever
+        # reads them; converged-lane 'old' reads at trip 1 are dead
+        # values (those lanes' outputs depend only on the frozen llr).
+        c2v_ref[pl.ds(SUB * NC, SUB), :] = jnp.zeros(
+            (SUB, LANES), jnp.int32)
         conv_ref[:] = jnp.zeros_like(conv_ref)
         iters_ref[:] = jnp.zeros_like(iters_ref)
 
