@@ -517,6 +517,13 @@ class LDPCCodec:
                 mode == "auto" and jax.default_backend() == "tpu"
             ):
                 self.pallas_kern = _lp.BPPallasKernel(s)
+                # the fused kernel decodes BLK lanes per grid step, so
+                # a straggler pass narrower than BLK pads up and wastes
+                # the difference — full-block passes cut the pass count
+                # 4x at identical per-pass cost (results are
+                # bit-identical for any slot count)
+                if not cfg.adaptive_straggler_slots:
+                    self.STRAGGLER_SLOTS = _lp.BLK
 
     # Iteration-budget crossover for the fused Pallas BP kernel,
     # measured on v5e (128B rate-1/2, B=131072): with static-unrolled
