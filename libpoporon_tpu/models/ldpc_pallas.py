@@ -75,12 +75,18 @@ their iteration-mi hard decision (best effort, ldpc.c:1018-1024).
 
 IO: llr blocks move HBM<->VMEM by explicit DMA (no pipelined input
 double-buffering — the per-block decode takes ~1 ms, the DMA tens
-of microseconds), keeping peak VMEM to the state buffers.
+of microseconds), keeping peak VMEM to the state buffers.  Entry
+points: bp() takes the XLA path's var-major [V+1, B] LLR tensors;
+bp_packed_hard()/bp_llr8_soft() take packed codeword bytes / int8
+channel LLRs directly and keep every transpose on the packed
+representation (see the Packed-IO comment below) — the decode bodies
+use those whenever no inner interleaver is configured.
 
 Scope: codes whose state fits VMEM — block_size <= ~192 bytes at
 BLK=1024 (the flagship 128-byte configs).  Larger codes fall back to
 the XLA path (models/ldpc.py); LDPCCodec picks per-structure via
 supports() (models/ldpc.py wiring; config.use_pallas overrides).
+Big-block design notes: benchmarks/PROFILING.md.
 """
 
 from __future__ import annotations
