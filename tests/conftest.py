@@ -24,3 +24,15 @@ import jax
 
 if _plat:
     jax.config.update("jax_platforms", _plat)
+
+# Persistent compile cache: the static-unrolled Pallas kernels cost
+# ~50 s of Mosaic compile each; identical HLO (same structure/shape)
+# hits this cache across tests and across runs, which keeps the
+# PPTPU_TEST_PLATFORM=axon leg tractable.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
