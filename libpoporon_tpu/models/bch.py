@@ -22,9 +22,11 @@ n=63 does not fit, and the byte wrappers shift a uint32 by >=32 bits
 (encode.c:215, decode.c:561).  Here the canonical device representation
 is an LSB-first bit tensor [B, n], which is well-defined for every
 m in [3, 16]; the int32 word API is kept as an adapter for n <= 31.
-Bit-exactness vs the reference is oracle-tested for m <= 5; m = 6 is
-spec-level tested (t errors corrected, t+1 rejected, byte round-trip),
-since no well-defined C behavior exists to compare against.
+Bit-exactness vs the reference is oracle-tested for m <= 5; m >= 6 has
+no well-defined C behavior to compare against and is spec-level tested
+(t errors corrected, t+1 rejected, byte round-trip) at m = 6
+(test_bch63.py) and m = 7 / 10 / 12 (test_bch_large.py), covering the
+constructor's accepted range.
 """
 
 from __future__ import annotations

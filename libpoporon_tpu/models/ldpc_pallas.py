@@ -109,11 +109,11 @@ BLK = SUB * LANES  # codewords per grid block
 E_CHUNKS = 4      # var-pass chunking (bounds the int32 total scratch)
 
 
+from ..utils import device as _device
+
+
 class BPPallasKernel:
     """Fused BP decode for one LdpcStructure at BLK-codeword blocks."""
-
-    # VMEM budget (bytes) for all scratch buffers
-    VMEM_BUDGET = 112 * 1024 * 1024
 
     @staticmethod
     def _mem_rows(c2v_size: int, V: int, dv: int, soft: bool) -> int:
@@ -140,7 +140,9 @@ class BPPallasKernel:
         total = rows * SUB * LANES * 4                       # i32 state
         total += ((V + 1 + E_CHUNKS - 1) // E_CHUNKS) * SUB * LANES * 4
         total += 4 * maxP * SUB * LANES * 4                  # fold scratch
-        return total <= cls.VMEM_BUDGET
+        # budget derived from the runtime device kind (utils/device.py);
+        # unknown targets get a conservative 16 MiB -> XLA fallback
+        return total <= _device.vmem_budget_bytes()
 
     # Staging gathers/scatters unrolled at trace time with the
     # (compile-time constant) graph indices embedded as static slice
@@ -444,7 +446,7 @@ class BPPallasKernel:
                 jax.ShapeDtypeStruct((nblk, 2 * SUB, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=128 * 1024 * 1024,
+                vmem_limit_bytes=_device.vmem_limit_bytes(),
             ),
             interpret=self._interpret,
         )(self.row2col, self.var_gather,

@@ -8,8 +8,10 @@ mathematically defined BCH behavior on the bit-tensor path — generator
 validity, t corrections, verified failure beyond t, byte round-trips —
 pinning the constructor range the framework advertises (bch.py:22-26).
 
-Configs: BCH(127,106) t=3 over GF(2^7) (primitive poly x^7+x^3+1) and
-BCH(1023,1003) t=2 over GF(2^10) (primitive poly x^10+x^3+1).
+Configs: BCH(127,106) t=3 over GF(2^7) (primitive poly x^7+x^3+1),
+BCH(1023,1003) t=2 over GF(2^10) (primitive poly x^10+x^3+1), and
+BCH(4095,4071) t=2 over GF(2^12) (primitive poly x^12+x^6+x^4+x+1) —
+the m >= 12 coverage for the constructor's advertised [3, 16] range.
 """
 
 import numpy as np
@@ -21,6 +23,7 @@ from libpoporon_tpu.models.bch import BCHCodec
 CONFIGS = [
     pytest.param((7, 0x89, 3), id="m7-BCH127-t3"),
     pytest.param((10, 0x409, 2), id="m10-BCH1023-t2"),
+    pytest.param((12, 0x1053, 2), id="m12-BCH4095-t2"),
 ]
 
 
