@@ -174,26 +174,90 @@ class BPPallasKernel:
 
     # ------------------------------------------------------------ kernel
 
-    def _kernel(self, soft: bool, precheck: bool, refs):
-        (row2col_ref, vgat_ref, mi_ref,
-         llr0_hbm, chan_hbm, llr_out_hbm, misc_ref,
-         llr_ref, v2c_ref, c2v_ref, stage_ref,
-         conv_ref, iters_ref, m1_ref, a1_ref, a2_ref, par_ref,
-         tot_ref, chan_ref, sem_in, sem_chan, sem_out) = refs
+    def _kernel(self, soft: bool, precheck: bool, packed: bool, refs):
+        if packed:
+            (row2col_ref, vgat_ref, mi_ref,
+             pk_hbm, pko_hbm, misc_ref,
+             llr_ref, v2c_ref, c2v_ref, stage_ref,
+             conv_ref, iters_ref, m1_ref, a1_ref, a2_ref, par_ref,
+             tot_ref, chan_ref, pk_ref, pko_ref,
+             sem_in, sem_chan, sem_out) = refs
+        else:
+            (row2col_ref, vgat_ref, mi_ref,
+             llr0_hbm, chan_hbm, llr_out_hbm, misc_ref,
+             llr_ref, v2c_ref, c2v_ref, stage_ref,
+             conv_ref, iters_ref, m1_ref, a1_ref, a2_ref, par_ref,
+             tot_ref, chan_ref, sem_in, sem_chan, sem_out) = refs
         V1 = self.V + 1
+        V = self.V
         dv = self.dv
         NC = self.c2v_size
         mi = mi_ref[0]
         i = pl.program_id(0)
 
         # ---- per-block init ----
-        cp = pltpu.make_async_copy(llr0_hbm.at[i], llr_ref, sem_in)
-        cp.start()
-        cp.wait()
-        if soft:
-            cp2 = pltpu.make_async_copy(chan_hbm.at[i], chan_ref, sem_chan)
-            cp2.start()
-            cp2.wait()
+        if packed:
+            # Packed IO: DMA the block's packed bytes (hard) / int8
+            # channel LLRs (soft) — 32-64x smaller than the expanded
+            # int32 LLR tensor — and expand in-kernel.  A logical
+            # byte/LLR row is 8 sublanes of u8/i8 (1 KB at 128 lanes),
+            # a quarter of the native (32, 128) tile; reads happen at
+            # aligned [32, 128] tiles (4 rows), get widened u8/i8 ->
+            # i32 on the XLU (the lowering rs_pallas.py relies on),
+            # and are sliced per row as values.  This replaces the XLA
+            # elementwise expansion that cost ~10.6 ms per 131k batch
+            # (PROFILING.md "Known remaining gaps").
+            cp = pltpu.make_async_copy(pk_hbm.at[i], pk_ref, sem_in)
+            cp.start()
+            cp.wait()
+            if not soft:
+                # hard: bit j of byte cb -> var v = 8*cb + j (the
+                # unpack_jnp MSB-first stream contract); V may not be
+                # a byte multiple (parity slack bits are skipped)
+                ntiles = pk_ref.shape[0] // 32
+                for tl in range(ntiles):
+                    w = pk_ref[32 * tl : 32 * (tl + 1), :].astype(jnp.int32)
+                    for q in range(4):
+                        cb = 4 * tl + q
+                        br = jax.lax.slice(w, (8 * q, 0), (8 * q + 8, LANES))
+                        for j in range(8):
+                            v = 8 * cb + j
+                            if v >= V:
+                                break
+                            bit = (br >> (7 - j)) & 1
+                            llr_ref[SUB * v : SUB * (v + 1), :] = jnp.where(
+                                bit == 1, jnp.int32(-LLR_INFINITY),
+                                jnp.int32(LLR_INFINITY))
+            else:
+                # soft: int8 channel LLR row per var; channel = w * 256
+                # (|w| <= 127 -> |chan| <= 32512, ldpc.c:27), llr0 =
+                # clip(chan) — bit-identical to bp_llr8_soft's XLA prep
+                ntiles = pk_ref.shape[0] // 32
+                for tl in range(ntiles):
+                    w = pk_ref[32 * tl : 32 * (tl + 1), :].astype(jnp.int32)
+                    for q in range(4):
+                        v = 4 * tl + q
+                        if v >= V:
+                            break
+                        ch = jax.lax.slice(
+                            w, (8 * q, 0), (8 * q + 8, LANES)) * 256
+                        chan_ref[SUB * v : SUB * (v + 1), :] = ch
+                        llr_ref[SUB * v : SUB * (v + 1), :] = jnp.clip(
+                            ch, LLR_MIN, LLR_MAX)
+                # fake var channel: +LLR_MAX exactly (125 * 256)
+                chan_ref[SUB * V : SUB * (V + 1), :] = jnp.full(
+                    (SUB, LANES), LLR_MAX, jnp.int32)
+            # fake var row pads every check-side min fold
+            llr_ref[SUB * V : SUB * (V + 1), :] = jnp.full(
+                (SUB, LANES), LLR_MAX, jnp.int32)
+        else:
+            cp = pltpu.make_async_copy(llr0_hbm.at[i], llr_ref, sem_in)
+            cp.start()
+            cp.wait()
+            if soft:
+                cp2 = pltpu.make_async_copy(chan_hbm.at[i], chan_ref, sem_chan)
+                cp2.start()
+                cp2.wait()
 
         static = self._static_gathers
         if static is None:
@@ -384,9 +448,34 @@ class BPPallasKernel:
         jax.lax.while_loop(cond, trip, (jnp.int32(1), jnp.int32(0)))
 
         # ---- outputs ----
-        out = pltpu.make_async_copy(llr_ref, llr_out_hbm.at[i], sem_out)
-        out.start()
-        out.wait()
+        if packed:
+            # pack hard-decision bits back into codeword bytes
+            # in-kernel (byte value = sum of (llr<0) << (7-j)); slack
+            # bits past V stay 0, matching pack_jnp's zero padding
+            ntiles = pko_ref.shape[0] // 32
+            for tl in range(ntiles):
+                quads = []
+                for q in range(4):
+                    cb = 4 * tl + q
+                    acc = jnp.zeros((SUB, LANES), jnp.int32)
+                    for j in range(8):
+                        v = 8 * cb + j
+                        if v >= V:
+                            break
+                        b = jnp.where(
+                            llr_ref[SUB * v : SUB * (v + 1), :] < 0,
+                            jnp.int32(1 << (7 - j)), jnp.int32(0))
+                        acc = acc + b
+                    quads.append(acc)
+                pko_ref[32 * tl : 32 * (tl + 1), :] = jnp.concatenate(
+                    quads, axis=0).astype(jnp.uint8)
+            out = pltpu.make_async_copy(pko_ref, pko_hbm.at[i], sem_out)
+            out.start()
+            out.wait()
+        else:
+            out = pltpu.make_async_copy(llr_ref, llr_out_hbm.at[i], sem_out)
+            out.start()
+            out.wait()
         conv = conv_ref[:]
         iters = jnp.where(conv != 0, iters_ref[:], mi)
         misc_ref[0] = jnp.concatenate([conv, iters], axis=0)
@@ -404,7 +493,7 @@ class BPPallasKernel:
         VC = (V1 + E_CHUNKS - 1) // E_CHUNKS
 
         def kern(*refs):
-            return self._kernel(soft, precheck, refs)
+            return self._kernel(soft, precheck, False, refs)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -453,6 +542,72 @@ class BPPallasKernel:
           jnp.full((1,), mi, jnp.int32), llr0_blk, chan_blk)
         return llr_out, misc
 
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _run_blocks_packed(self, pk_blk, soft, mi):
+        """Packed-IO kernel run.
+
+        pk_blk: [nblk, PKR, 128] u8 codeword bytes (hard; 8 sublanes
+        per byte row) or i8 channel LLRs (soft; 8 sublanes per var
+        row), PKR a multiple of 32.  Returns (pko [nblk, PKOR, 128]
+        u8 packed output bytes, misc [nblk, 2*SUB, 128] i32).
+        """
+        V1 = self.V + 1
+        nblk, PKR, _ = pk_blk.shape
+        CBF = (self.V + 7) // 8                  # output byte rows
+        PKOR = ((CBF + 3) // 4) * 32
+        maxP = self.maxP
+        VC = (V1 + E_CHUNKS - 1) // E_CHUNKS
+        precheck = not soft
+
+        def kern(*refs):
+            return self._kernel(soft, precheck, True, refs)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 2 * SUB, LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((V1 * SUB, LANES), jnp.int32),             # llr
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int32),
+                pltpu.VMEM(((self.c2v_size + 1) * SUB, LANES), jnp.int32),
+                pltpu.VMEM((self.stage_rows * SUB, LANES), jnp.int32),
+                pltpu.VMEM((SUB, LANES), jnp.int32),                  # conv
+                pltpu.VMEM((SUB, LANES), jnp.int32),                  # iters
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # m1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # a1
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # a2
+                pltpu.VMEM((maxP * SUB, LANES), jnp.int32),           # par
+                pltpu.VMEM((VC * SUB, LANES), jnp.int32),             # tot
+                pltpu.VMEM(((V1 if soft else 1) * SUB, LANES), jnp.int32),
+                pltpu.VMEM((PKR, LANES), pk_blk.dtype),               # pk in
+                pltpu.VMEM((PKOR, LANES), jnp.uint8),                 # pk out
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        pko, misc = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nblk, PKOR, LANES), jnp.uint8),
+                jax.ShapeDtypeStruct((nblk, 2 * SUB, LANES), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_device.vmem_limit_bytes(),
+            ),
+            interpret=self._interpret,
+        )(self.row2col, self.var_gather,
+          jnp.full((1,), mi, jnp.int32), pk_blk)
+        return pko, misc
+
     _interpret = False
 
     @staticmethod
@@ -478,17 +633,15 @@ class BPPallasKernel:
             .reshape(R, nblk * SUB * LANES)
         )
 
-    # Packed-IO entry points: the blocked kernel layout
-    # [nblk, (V+1)*SUB, LANES] indexes batch as b = blk*BLK + s*LANES
-    # + l, so [X, b]-shaped data reshapes into it for FREE once the
-    # small axis (bytes / LLR rows) leads — the only real transposes
-    # happen on the PACKED bytes (33 MB per 131k batch) instead of on
-    # int16/int32 LLR tensors (268-537 MB), and the unpack / where /
-    # widen all fuse into the single blocked write.  Measured on v5e:
-    # prep 14.5 -> 10.6 ms, output 10.1 -> 7.2 ms per 131k batch vs
-    # transposing the LLR tensors (every ordering of which costs the
-    # same ~14.5 ms — the XLA cost is the elementwise expansion, not
-    # the transpose pattern).
+    # Packed-IO entry points: XLA touches only the PACKED
+    # representation (codeword bytes / int8 LLRs — 33-262 MB per 131k
+    # batch) to transpose it into the kernel's block layout; the
+    # expansion to int32 LLR rows and the hard-decision byte pack both
+    # happen IN-KERNEL (see _kernel's packed init/output sections), so
+    # the 2.1 GB expanded tensor never exists in HBM at all.  Round 4
+    # paid ~10.6 ms prep + 7.2 ms output per 131k batch for the XLA
+    # elementwise expansion (PROFILING.md); this removes it and cuts
+    # the per-block DMA from 8.4 MB to 0.26 MB (hard) / 2.1 MB (soft).
 
     def _misc_split(self, misc, nblk, Bp):
         conv_iters = (
@@ -498,46 +651,44 @@ class BPPallasKernel:
         )
         return conv_iters[0] != 0, conv_iters[1].astype(jnp.int32)
 
-    def _bits_to_bytes_bm(self, llr_out, nblk, Bp):
-        """Blocked llr -> packed codeword bytes [Bp, V//8] u8."""
-        V = self.V
-        CB = V // 8
-        bits = (llr_out[:, : V * SUB, :] < 0).astype(jnp.uint8)
-        b5 = bits.reshape(nblk, CB, 8, SUB, LANES)
-        w = jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        byt = (b5 * w[None, None, :, None, None]).sum(axis=2, dtype=jnp.uint8)
-        return byt.transpose(1, 0, 2, 3).reshape(CB, Bp).T    # [Bp, CB]
+    def _pko_to_bytes(self, pko, nblk, Bp):
+        """Kernel byte planes [nblk, PKOR, 128] u8 -> [Bp, CBF] u8."""
+        CBF = (self.V + 7) // 8
+        CBP = pko.shape[1] // 8
+        out = (
+            pko.reshape(nblk, CBP, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(CBP, Bp)
+            .T
+        )
+        return out[:, :CBF]
 
     def bp_packed_hard(self, codeword_bytes, mi: int):
-        """Hard decode straight from packed bytes [B, V//8] u8 (no
-        inner interleaver — the caller dispatches).  Returns (ok [B],
-        packed_out [B, V//8] u8, iters [B])."""
-        V = self.V
-        CB = V // 8
+        """Hard decode straight from packed bytes [B, ceil(V/8)] u8
+        (no inner interleaver — the caller dispatches).  Returns
+        (ok [B], packed_out [B, ceil(V/8)] u8, iters [B]).  Handles
+        V % 8 != 0 (rate 3/4|5/6 slack bits) via the byte stream."""
+        CBF = (self.V + 7) // 8
         B = codeword_bytes.shape[0]
         Bp = ((B + BLK - 1) // BLK) * BLK
         if Bp != B:
             # zero bytes = the all-zero codeword: converges at precheck
-            pad = jnp.zeros((Bp - B, CB), jnp.uint8)
+            pad = jnp.zeros((Bp - B, CBF), jnp.uint8)
             codeword_bytes = jnp.concatenate([codeword_bytes, pad], axis=0)
         nblk = Bp // BLK
-        bT = (
-            codeword_bytes.T                       # [CB, Bp] u8
-            .reshape(CB, nblk, SUB, LANES)
-            .transpose(1, 0, 2, 3)                 # [nblk, CB, 8, 128] u8
+        CBP = ((CBF + 3) // 4) * 4            # pad byte rows to a tile
+        bT = codeword_bytes.T                 # [CBF, Bp] u8
+        if CBP != CBF:
+            bT = jnp.concatenate(
+                [bT, jnp.zeros((CBP - CBF, Bp), jnp.uint8)], axis=0)
+        pk = (
+            bT.reshape(CBP, nblk, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(nblk, CBP * 8, LANES)    # byte row cb = sublanes 8cb..
         )
-        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        bits = (bT[:, :, None, :, :] >> shifts[None, None, :, None, None]) & 1
-        llr = jnp.where(bits == 1, jnp.int32(-LLR_INFINITY),
-                        jnp.int32(LLR_INFINITY))
-        llr = llr.reshape(nblk, V * SUB, LANES)    # free reshape
-        fake = jnp.full((nblk, SUB, LANES), LLR_MAX, jnp.int32)
-        llr_blk = jnp.concatenate([llr, fake], axis=1)
-        llr_out, misc = self._run_blocks(
-            llr_blk, llr_blk[:, :SUB, :], (False, True), mi
-        )
+        pko, misc = self._run_blocks_packed(pk, False, mi)
         ok, iters = self._misc_split(misc, nblk, Bp)
-        out = self._bits_to_bytes_bm(llr_out, nblk, Bp)
+        out = self._pko_to_bytes(pko, nblk, Bp)
         return ok[:B], out[:B], iters[:B]
 
     def bp_llr8_soft(self, llr8, mi: int):
@@ -552,22 +703,19 @@ class BPPallasKernel:
             pad = jnp.full((Bp - B, V), 125, llr8.dtype)
             llr8 = jnp.concatenate([llr8, pad], axis=0)
         nblk = Bp // BLK
-        wT = (
-            llr8.T                                  # [V, Bp] i8
-            .reshape(V, nblk, SUB, LANES)
-            .transpose(1, 0, 2, 3)                  # [nblk, V, 8, 128] i8
-            .astype(jnp.int32)
-            .reshape(nblk, V * SUB, LANES)
+        VP = ((V + 3) // 4) * 4               # pad var rows to a tile
+        wT = llr8.T.astype(jnp.int8)          # [V, Bp] i8
+        if VP != V:
+            wT = jnp.concatenate(
+                [wT, jnp.zeros((VP - V, Bp), jnp.int8)], axis=0)
+        pk = (
+            wT.reshape(VP, nblk, SUB, LANES)
+            .transpose(1, 0, 2, 3)
+            .reshape(nblk, VP * 8, LANES)     # var row v = sublanes 8v..
         )
-        fake = jnp.full((nblk, SUB, LANES), 125, jnp.int32)
-        w_blk = jnp.concatenate([wT, fake], axis=1)
-        chan_blk = w_blk * 256                      # |x|<=32512, fits i32
-        llr_blk = jnp.clip(chan_blk, LLR_MIN, LLR_MAX)
-        llr_out, misc = self._run_blocks(
-            llr_blk, chan_blk, (True, False), mi
-        )
+        pko, misc = self._run_blocks_packed(pk, True, mi)
         ok, iters = self._misc_split(misc, nblk, Bp)
-        out = self._bits_to_bytes_bm(llr_out, nblk, Bp)
+        out = self._pko_to_bytes(pko, nblk, Bp)
         return ok[:B], out[:B], iters[:B]
 
     def bp(self, llr_init_p, channel_soft_p, mi: int):
