@@ -644,7 +644,10 @@ class RSCodec:
             s = jnp.asarray(ext_syndrome, dtype=jnp.int32)
             if s.ndim == 1:
                 s = jnp.broadcast_to(s[None], (data.shape[0], self.num_roots))
-            out = self._decode_ext_syndrome(data, parity, s)
+            if self.pallas_dec is not None:
+                out = self.pallas_dec.decode_ext(data, parity, s)
+            else:
+                out = self._decode_ext_syndrome(data, parity, s)
         elif erasures is not None:
             if isinstance(erasures, tuple):
                 pos, cnt = erasures
@@ -655,7 +658,13 @@ class RSCodec:
                 cnt = jnp.full((data.shape[0],), pos.shape[1], dtype=jnp.int32)
             pos = jnp.asarray(pos, dtype=jnp.int32)
             cnt = jnp.asarray(cnt, dtype=jnp.int32)
-            out = self._decode_erasure(data, parity, pos, cnt)
+            if (
+                self.pallas_dec is not None
+                and self.pallas_dec.supports_erasure(pos.shape[1])
+            ):
+                out = self.pallas_dec.decode_erasure(data, parity, pos, cnt)
+            else:
+                out = self._decode_erasure(data, parity, pos, cnt)
         elif self.pallas_dec is not None:
             out = self.pallas_dec.decode_plain(data, parity)
         else:

@@ -24,10 +24,13 @@ bit-linear evaluations (syndromes, Chien) run as bf16 MXU matmuls
 against the same constant matrices the XLA path uses (exact: 0/1
 values, f32 accumulation of <= 2040 terms).
 
-Scope: plain decode path (no erasures / external syndromes), m = 8,
-num_roots <= 64, fcr/prim small enough that every log-domain sum fits
-the shift-add fold (mod_fs) — i.e. the shipping RS(255,*) family.
-Other paths fall back to the XLA kernels.
+Scope: all three rs_decode paths (decode.c:431-485) — plain, erasure
+(erasure-locator BM init + position-targeted apply, decode.c:34-47 and
+211-214) and external log-form syndromes (decode.c:446-464) — for
+m = 8, num_roots <= 64, erasure lists <= num_roots wide, fcr/prim
+small enough that every log-domain sum fits the shift-add fold
+(mod_fs) — i.e. the shipping RS(255,*) family.  Other configs fall
+back to the XLA kernels.
 """
 
 from __future__ import annotations
@@ -89,7 +92,12 @@ def _shift_down(x, fill):
 
 
 class RSPallasDecoder:
-    """Plain-path RS decode as a single fused Pallas kernel."""
+    """rs_decode (plain / erasure / external-syndrome paths) as a
+    single fused Pallas kernel."""
+
+    # erasure position slots read from the combined [B, 128] operand
+    # (slot 127 carries the count; E <= num_roots <= 64 always fits)
+    ERAS_SLOTS = 64
 
     @staticmethod
     def supports(rs) -> bool:
@@ -147,9 +155,18 @@ class RSPallasDecoder:
 
     # ------------------------------------------------------------ kernel
 
-    def _kernel(self, size: int, pad: int,
-                rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
-                inv_ref, va_ref, out_ref, aux_ref, sbuf_ref):
+    def _kernel(self, size: int, pad: int, mode: str, *refs):
+        if mode == "erasure":
+            (rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
+             inv_ref, va_ref, eras_ref,
+             out_ref, aux_ref, sbuf_ref) = refs
+        elif mode == "ext":
+            (rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
+             inv_ref, va_ref, slog_ref,
+             out_ref, aux_ref, sbuf_ref) = refs
+        else:
+            (rx_ref, gsyn_ref, mchien_ref, log_ref, alog_ref, sec_ref,
+             inv_ref, va_ref, out_ref, aux_ref, sbuf_ref) = refs
         LANES = self.lanes
         fs, nr, m = self.fs, self.nr, self.m
         NRP, ELP = self.NR_P, self.EL_P
@@ -169,27 +186,36 @@ class RSPallasDecoder:
         rx = (rx_t[0] if LANES == 128 else jnp.concatenate(rx_t, axis=1))
         rx = rx[:fs]                                     # [fs, LANES]
 
-        # ---- bits (MSB-first, matching gf.linear_matrix) ----
-        planes = [((rx >> (m - 1 - b)) & 1) for b in range(m)]
-        bits = jnp.stack(planes, axis=1).reshape(fs * m, LANES)
-        bits = bits.astype(jnp.bfloat16)
+        if mode == "ext":
+            # external log-form syndromes (decode.c:446-464): sentinel
+            # fs = "no error"; padding rows arrive as fs from the
+            # wrapper.  log2exp[fs] = 0 makes the sentinel-vs-zero
+            # equivalence exact (has_err below == any s_log != fs).
+            synd_log = slog_ref[:]                        # [NRP, 128]
+            s_sym = lut(alog_t, synd_log)
+            has_err = _or_rows((s_sym != 0).astype(jnp.int32))
+        else:
+            # ---- bits (MSB-first, matching gf.linear_matrix) ----
+            planes = [((rx >> (m - 1 - b)) & 1) for b in range(m)]
+            bits = jnp.stack(planes, axis=1).reshape(fs * m, LANES)
+            bits = bits.astype(jnp.bfloat16)
 
-        # ---- syndromes: one MXU matmul (decode.c:375-415 closed form) --
-        syn_bits = jax.lax.dot_general(
-            gsyn_ref[:], bits, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32) & 1                           # [nr*m, 128]
-        s3 = syn_bits.reshape(nr, m, LANES)
-        s_sym = s3[:, 0, :]
-        for b in range(1, m):
-            s_sym = (s_sym << 1) | s3[:, b, :]            # [nr, 128]
-        if NRP != nr:
-            s_sym = jnp.concatenate(
-                [s_sym, jnp.zeros((NRP - nr, LANES), jnp.int32)], axis=0
-            )
-        has_err = _or_rows((s_sym != 0).astype(jnp.int32))  # [8,128] 0/1
+            # ---- syndromes: one MXU matmul (decode.c:375-415) ----
+            syn_bits = jax.lax.dot_general(
+                gsyn_ref[:], bits, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32) & 1                       # [nr*m, 128]
+            s3 = syn_bits.reshape(nr, m, LANES)
+            s_sym = s3[:, 0, :]
+            for b in range(1, m):
+                s_sym = (s_sym << 1) | s3[:, b, :]        # [nr, 128]
+            if NRP != nr:
+                s_sym = jnp.concatenate(
+                    [s_sym, jnp.zeros((NRP - nr, LANES), jnp.int32)], axis=0
+                )
+            has_err = _or_rows((s_sym != 0).astype(jnp.int32))  # [8,128]
 
-        synd_log = lut(log_t, s_sym)                      # [NRP, 128]
+            synd_log = lut(log_t, s_sym)                  # [NRP, 128]
         # window buffer: row i of the slice at iteration `it` must be
         # synd_log[it-1-i] for i < it and the fs sentinel beyond
         # static row reverse (Mosaic has no `rev` lowering): unrolled
@@ -206,10 +232,41 @@ class RSPallasDecoder:
 
         # ---- Berlekamp-Massey (decode.c:49-96), fixed nr trips ----
         zero_i = rx[:1] & 0                               # varying zero row
-        row0 = jax.lax.broadcasted_iota(jnp.int32, (ELP, LANES), 0) == 0
-        el0 = jnp.where(row0, 1, jnp.broadcast_to(zero_i, (ELP, LANES)))
-        coeff0 = jnp.where(el0 == 1, jnp.int32(0), jnp.int32(fs))
-        pd0 = zero_i                                      # [1, 128]
+        rows_elp = jax.lax.broadcasted_iota(jnp.int32, (ELP, LANES), 0)
+        if mode == "erasure":
+            # erasure-locator init (decode.c:34-47): el = prod over the
+            # first `cnt` positions of (1 + alpha^{prim*(fs-1-(pos+pad))} x).
+            # Positions arrive batch-major [128, 128] (slots on the
+            # trailing axis, count in slot 127) and are transposed
+            # in-kernel like the data word — no XLA-side transpose.
+            er_t = eras_ref[:].T                          # [128, LANES]
+            ec = er_t[127:128, :]                         # [1, 128]
+            pos = er_t[: self.ERAS_SLOTS]                 # [EP, 128]
+            eras_pos_rows = pos                           # reused in apply
+            raw = (self.prim * (fs - 1 - (pos + pad))) & 0xFFFF
+            idx = pgf.mod_fs(raw, fs, 0x10000)
+            terms_e = lut(alog_t, idx)                    # alpha^(raw % fs)
+            EP = pos.shape[0]
+            el0 = jnp.where(rows_elp == 0, 1,
+                            jnp.broadcast_to(zero_i, (ELP, LANES)))
+            el0 = jnp.where(
+                (rows_elp == 1) & (ec > 0),
+                jnp.broadcast_to(terms_e[:1], (ELP, LANES)), el0)
+            for e in range(1, min(EP, nr)):
+                active = e < ec                           # [1, 128]
+                term = jnp.broadcast_to(terms_e[e : e + 1], (ELP, LANES))
+                contrib = pgf.gf_mul(log_t, alog_t, term,
+                                     _shift_down(el0, 0), fs)
+                maskj = (rows_elp >= 1) & (rows_elp <= e + 1)
+                el0 = el0 ^ jnp.where(active & maskj, contrib, 0)
+            coeff0 = lut(log_t, el0)
+            pd0 = ec
+        else:
+            el0 = jnp.where(rows_elp == 0, 1,
+                            jnp.broadcast_to(zero_i, (ELP, LANES)))
+            coeff0 = jnp.where(el0 == 1, jnp.int32(0), jnp.int32(fs))
+            pd0 = zero_i                                  # [1, 128]
+            ec = zero_i
 
         def bm_body(it, state):
             el, coeff_log, pd = state
@@ -226,7 +283,9 @@ class RSPallasDecoder:
             )
             poly = el ^ _shift_down(contrib, 0)
 
-            grow = disc_nz & (2 * pd[:1] <= it - 1)        # [1,128]
+            # grow condition 2*pd <= it + ec - 1 (ec = 0 without
+            # erasures, matching decode.c:65-77)
+            grow = disc_nz & (2 * pd[:1] <= it + ec - 1)   # [1,128]
             # coeff division branch: log(el) - log(disc) (+fs), sentinel
             # propagated for el == 0
             d = el_log - jnp.broadcast_to(disc_log[:1], (ELP, LANES)) + fs
@@ -234,8 +293,15 @@ class RSPallasDecoder:
             coeff_grow = jnp.where(el == 0, jnp.int32(fs), d)
             coeff_shift = _shift_down(coeff_log, fs)
             new_coeff = jnp.where(grow, coeff_grow, coeff_shift)
-            new_pd = jnp.where(grow[:1], it - pd, pd)
+            new_pd = jnp.where(grow[:1], it + ec - pd, pd)
             new_el = jnp.where(disc_nz, poly, el)
+            if mode == "erasure":
+                # iterations it <= ec are skipped entirely (the C loop
+                # starts at r = ec + 1, decode.c:55)
+                act = it > ec                              # [1, 128]
+                new_el = jnp.where(act, new_el, el)
+                new_coeff = jnp.where(act, new_coeff, coeff_log)
+                new_pd = jnp.where(act, new_pd, pd)
             return new_el, new_coeff, new_pd
 
         el, _, _ = jax.lax.fori_loop(1, nr + 1, bm_body, (el0, coeff0, pd0))
@@ -383,22 +449,35 @@ class RSPallasDecoder:
         )[:1] != 0
 
         # ---- apply corrections (decode.c:211-227) ----
-        loc_pad = locs - pad
-        jvalid = t_iota < deg
-        in_data = (loc_pad >= 0) & (loc_pad < size) & jvalid
-        in_par = (loc_pad >= size) & (loc_pad < size + nr) & jvalid
-        bad = jvalid & ~(in_data | in_par)
-        fail_apply = _or_rows(bad.astype(jnp.int32))[:1] != 0
-        first_bad = _min_rows(jnp.where(bad, t_iota, nr))[:1]
-        app = jvalid & (t_iota < first_bad)
-        cval = jnp.where(app, coeff, 0)
-
-        corrvec = jnp.broadcast_to(zero_i, (fs, LANES)) & 0
         rows_word = jax.lax.broadcasted_iota(jnp.int32, (fs, LANES), 0)
-        for t in range(nr):
-            loc_t = locs[t : t + 1]
-            cv = cval[t : t + 1]
-            corrvec = corrvec ^ jnp.where(rows_word == loc_t, cv, 0)
+        corrvec = jnp.broadcast_to(zero_i, (fs, LANES)) & 0
+        if mode == "erasure":
+            # decode.c:211-214 erasure form: coeff_j lands at the
+            # user's j-th erasure position (data region only; parity
+            # untouched); no out-of-window failure path
+            EP = eras_pos_rows.shape[0]
+            fail_apply = zero_i != 0                       # all-False
+            for t in range(min(nr, EP)):
+                pos_t = eras_pos_rows[t : t + 1]
+                live_t = (deg > t) & (pos_t >= 0) & (pos_t < size)
+                cv = jnp.where(live_t, coeff[t : t + 1], 0)
+                corrvec = corrvec ^ jnp.where(
+                    rows_word == pos_t + pad, cv, 0)
+        else:
+            loc_pad = locs - pad
+            jvalid = t_iota < deg
+            in_data = (loc_pad >= 0) & (loc_pad < size) & jvalid
+            in_par = (loc_pad >= size) & (loc_pad < size + nr) & jvalid
+            bad = jvalid & ~(in_data | in_par)
+            fail_apply = _or_rows(bad.astype(jnp.int32))[:1] != 0
+            first_bad = _min_rows(jnp.where(bad, t_iota, nr))[:1]
+            app = jvalid & (t_iota < first_bad)
+            cval = jnp.where(app, coeff, 0)
+
+            for t in range(nr):
+                loc_t = locs[t : t + 1]
+                cv = cval[t : t + 1]
+                corrvec = corrvec ^ jnp.where(rows_word == loc_t, cv, 0)
 
         fail_pre = fail_deg | fail_pad | fail_count
         corrected = jnp.where(fail_pre, 0, corrected)
@@ -431,9 +510,14 @@ class RSPallasDecoder:
 
     # ----------------------------------------------------------- wrapper
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _decode_blocks(self, data, parity, size: int):
-        """data [B,size] u8, parity [B,nr] u8; B % lanes == 0."""
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _decode_blocks(self, data, parity, size: int, mode: str, extra=()):
+        """data [B,size] u8, parity [B,nr] u8; B % lanes == 0.
+
+        mode "plain": extra = ().
+        mode "erasure": extra = (eras_pos [B, E] i32, eras_count [B] i32).
+        mode "ext": extra = (s_log [B, nr] i32,).
+        """
         fs, nr = self.fs, self.nr
         pad = fs - nr - size
         B = data.shape[0]
@@ -452,32 +536,60 @@ class RSPallasDecoder:
         )                                                  # [B, 256]
 
         LANES = self.lanes
-        kern = functools.partial(self._kernel, size, pad)
+        NRP = self.NR_P
+        kern = functools.partial(self._kernel, size, pad, mode)
         grid = (B // LANES,)
+        tbl_spec = pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((LANES, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr * 8, fs * 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fs * 8, nr * 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # packed GF tables are [2, 8, 128] vregs — 128 wide
+            # regardless of the lane-block width (lut256 gathers
+            # per 128-lane column chunk)
+            tbl_spec, tbl_spec, tbl_spec, tbl_spec,
+            pl.BlockSpec((NRP, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [word, self.G_synT, self.M_chienT, self.log_t,
+                    self.antilog_t, self.sec_t, self.inv_t, self.verify_a]
+        if mode == "erasure":
+            eras_pos, eras_count = extra
+            E = eras_pos.shape[1]
+            # batch-major combined operand: slots 0..E-1 = positions
+            # (-1 pad beyond), slot 127 = count; transposed in-kernel
+            eras128 = jnp.concatenate(
+                [
+                    eras_pos.astype(jnp.int32)[:, :127],
+                    jnp.full((B, max(0, 127 - E)), -1, jnp.int32),
+                    eras_count.astype(jnp.int32)[:, None],
+                ],
+                axis=1,
+            )
+            in_specs += [
+                pl.BlockSpec((LANES, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [eras128]
+        elif mode == "ext":
+            (s_log,) = extra
+            slogT = jnp.pad(
+                s_log.astype(jnp.int32).T, ((0, NRP - nr), (0, 0)),
+                constant_values=fs,
+            )                                              # [NRP, B]
+            in_specs += [
+                pl.BlockSpec((NRP, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [slogT]
         out, aux = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((LANES, 256), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nr * 8, fs * 8), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((fs * 8, nr * 8), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                # packed GF tables are [2, 8, 128] vregs — 128 wide
-                # regardless of the lane-block width (lut256 gathers
-                # per 128-lane column chunk)
-                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.NR_P, LANES), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((LANES, 256), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -492,8 +604,7 @@ class RSPallasDecoder:
                 pltpu.VMEM((nr + self.EL_P, LANES), jnp.int32),
             ],
             interpret=self._interpret,
-        )(word, self.G_synT, self.M_chienT, self.log_t, self.antilog_t,
-          self.sec_t, self.inv_t, self.verify_a)
+        )(*operands)
 
         data_out = out[:, pad : pad + size].astype(jnp.uint8)
         par_out = out[:, pad + size : pad + size + nr].astype(jnp.uint8)
@@ -503,18 +614,50 @@ class RSPallasDecoder:
 
     _interpret = False
 
+    def supports_erasure(self, E: int) -> bool:
+        """Erasure lists up to num_roots positions ride the kernel."""
+        return 0 < E <= self.nr
+
+    def _pad_batch(self, arrs, B):
+        LANES = self.lanes
+        Bp = ((B + LANES - 1) // LANES) * LANES
+        if Bp == B:
+            return arrs, B
+        reps = -(-(Bp - B) // B)
+        out = []
+        for a in arrs:
+            pad = jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[: Bp - B]
+            out.append(jnp.concatenate([a, pad], axis=0))
+        return out, B
+
     def decode_plain(self, data, parity):
         """Facade-shape plain decode: pads B to a 128 multiple."""
         data = jnp.asarray(data)
         parity = jnp.asarray(parity)
         B, size = data.shape
-        LANES = self.lanes
-        Bp = ((B + LANES - 1) // LANES) * LANES
-        if Bp != B:
-            reps = -(-(Bp - B) // B)
-            dpad = jnp.tile(data, (reps, 1))[: Bp - B]
-            ppad = jnp.tile(parity, (reps, 1))[: Bp - B]
-            data = jnp.concatenate([data, dpad], axis=0)
-            parity = jnp.concatenate([parity, ppad], axis=0)
-        ok, d, p, c = self._decode_blocks(data, parity, size)
+        (data, parity), B = self._pad_batch([data, parity], B)
+        ok, d, p, c = self._decode_blocks(data, parity, size, "plain")
+        return ok[:B], d[:B], p[:B], c[:B]
+
+    def decode_erasure(self, data, parity, eras_pos, eras_count):
+        """Erasure decode (decode.c:466-473 path), fused kernel."""
+        data = jnp.asarray(data)
+        parity = jnp.asarray(parity)
+        B, size = data.shape
+        (data, parity, eras_pos, eras_count), B = self._pad_batch(
+            [data, parity, jnp.asarray(eras_pos, jnp.int32),
+             jnp.asarray(eras_count, jnp.int32)], B)
+        ok, d, p, c = self._decode_blocks(
+            data, parity, size, "erasure", (eras_pos, eras_count))
+        return ok[:B], d[:B], p[:B], c[:B]
+
+    def decode_ext(self, data, parity, s_log):
+        """External-syndrome decode (decode.c:446-464), fused kernel."""
+        data = jnp.asarray(data)
+        parity = jnp.asarray(parity)
+        B, size = data.shape
+        (data, parity, s_log), B = self._pad_batch(
+            [data, parity, jnp.asarray(s_log, jnp.int32)], B)
+        ok, d, p, c = self._decode_blocks(
+            data, parity, size, "ext", (s_log,))
         return ok[:B], d[:B], p[:B], c[:B]

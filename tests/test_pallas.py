@@ -65,6 +65,68 @@ def test_rs_pallas_matches_xla():
     assert (c_x == c_p).all()
 
 
+def test_rs_pallas_erasure_matches_xla():
+    """Erasure path (decode.c:466-473): erasure-locator BM init +
+    position-targeted apply, vs the oracle-exact XLA path."""
+    rs = RSCodec(RSConfig())
+    dec = RSPallasDecoder(rs, lanes=128)
+    rng = np.random.default_rng(21)
+    B, size, E = 128, 223, 32
+    data = rng.integers(0, 256, (B, size), dtype=np.uint8)
+    parity = np.asarray(rs.encode(data))
+    bad = data.copy()
+    pos = np.zeros((B, E), dtype=np.int32)
+    cnt = np.zeros((B,), dtype=np.int32)
+    for i in range(B):
+        c = int(rng.integers(0, E + 1))     # 0..32 erasures per row
+        p = np.sort(rng.choice(size, c, replace=False)).astype(np.int32)
+        pos[i, :c] = p
+        cnt[i] = c
+        bad[i, p] ^= rng.integers(1, 256, c).astype(np.uint8)
+    # a few rows with extra (non-erased) errors beyond capability
+    for i in range(4):
+        bad[i, (pos[i, 0] + 5) % size] ^= 0x3C
+
+    ok_x, d_x, p_x, c_x = map(
+        np.asarray, rs._decode_erasure(bad, parity, pos, cnt))
+    ok_p, d_p, p_p, c_p = map(
+        np.asarray, dec.decode_erasure(bad, parity, pos, cnt))
+    assert (ok_x == ok_p).all()
+    assert (d_x == d_p).all()
+    assert (p_x == p_p).all()
+    assert (c_x == c_p).all()
+
+
+def test_rs_pallas_ext_syndrome_matches_xla():
+    """External log-form syndromes (decode.c:446-464): the syndrome
+    matmul is skipped, sentinel fs = 'no error'."""
+    rs = RSCodec(RSConfig())
+    dec = RSPallasDecoder(rs, lanes=128)
+    rng = np.random.default_rng(22)
+    B, size = 128, 223
+    data = rng.integers(0, 256, (B, size), dtype=np.uint8)
+    parity = np.asarray(rs.encode(data))
+    bad = data.copy()
+    for i in range(B):
+        ne = int(rng.integers(0, 5))
+        p = rng.choice(size, ne, replace=False)
+        bad[i, p] ^= rng.integers(1, 256, ne).astype(np.uint8)
+    # true log-form syndromes of the corrupted words
+    s_norm = np.asarray(rs._syndrome(bad, parity))
+    exp2log = np.asarray(rs.gf.exp2log).astype(np.int32)
+    s_log = exp2log[s_norm]
+    # plus 8 rows of the all-clean sentinel
+    s_log[:8] = rs.fs
+    ok_x, d_x, p_x, c_x = map(
+        np.asarray, rs._decode_ext_syndrome(bad, parity, s_log))
+    ok_p, d_p, p_p, c_p = map(
+        np.asarray, dec.decode_ext(bad, parity, s_log))
+    assert (ok_x == ok_p).all()
+    assert (d_x == d_p).all()
+    assert (p_x == p_p).all()
+    assert (c_x == c_p).all()
+
+
 def test_rs_pallas_shortened_and_ragged():
     rs = RSCodec(RSConfig())
     dec = RSPallasDecoder(rs, lanes=128)
@@ -93,6 +155,9 @@ LDPC_CONFIGS = [
     pytest.param(LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
                             matrix_type=LdpcMatrixType.QC_RANDOM),
                  id="128B-r12-qc"),
+    pytest.param(LdpcConfig(block_size=64, rate=LdpcRate.RATE_1_2,
+                            column_weight=7),
+                 id="64B-r12-cw7"),
 ]
 
 
