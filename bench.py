@@ -251,6 +251,47 @@ def main():
          "mbit_per_s": LDPC_BATCH / dt * lc.codeword_bits / 1e6,
          "channel_ber": round(ber, 5), "path": "pallas" if pal else "xla"})
 
+    # ---------------- shipped presets (poporon.c:286-294) ----------------
+    # default = both interleavers + soft-capable (the path users get
+    # from ldpc_config_default); burst = cw=7 + both interleavers;
+    # plus one QC-matrix row.  Facade-level decode, hard inputs.
+    from libpoporon_tpu.config import LdpcMatrixType
+
+    preset_batch = 4096 if SMOKE else 65536
+    for name, cfg in (
+        ("ldpc_default_preset_128B",
+         pp.ldpc_config_default(128, LdpcRate.RATE_1_2)),
+        ("ldpc_burst_cw7_128B",
+         pp.ldpc_config_burst_resistant(128, LdpcRate.RATE_1_2)),
+        ("ldpc_qc_128B",
+         LdpcConfig(block_size=128, rate=LdpcRate.RATE_1_2,
+                    matrix_type=LdpcMatrixType.QC_RANDOM)),
+    ):
+        fac = pp.create(cfg)
+        pinfo = rng.integers(0, 256, (preset_batch, fac.info_size),
+                             dtype=np.uint8)
+        enc = fac.encode(pinfo.copy())
+        pd, ppar = np.asarray(enc.data), np.asarray(enc.parity)
+        bad = pd.copy()
+        bad[:, 11] ^= 0x20
+        bad[:, 60] ^= 0x01
+        bj, pj2 = jax.device_put(bad), jax.device_put(ppar)
+
+        def run(a, b, fac=fac):
+            r = fac.decode(a, b)
+            # DecodeResult is not a pytree: return the fields so
+            # block_until_ready really waits on the computation
+            return (r.ok, r.data, r.parity, r.corrected)
+
+        ok0 = np.asarray(run(bj, pj2)[0])
+        assert ok0.all(), f"{name}: bench decode failed"
+        dt = time_fn(run, bj, pj2, warmup=2, iters=3)
+        cbits = fac._ldpc.codeword_bits
+        log({"bench": name, "codewords_per_s": preset_batch / dt,
+             "mbit_per_s": preset_batch / dt * cbits / 1e6,
+             "path": "pallas" if fac._ldpc.pallas_kern is not None
+             else "xla"})
+
     # ---------------- LDPC big blocks (XLA path; Pallas is VMEM-gated) ----
     for bs, rate, nb in ((1024, LdpcRate.RATE_1_2, 4096),
                          (8192, LdpcRate.RATE_1_3, 512)):

@@ -456,6 +456,44 @@ class TestLDPCCodec:
             assert int(iters[b]) == rit, f"b={b}"
         ref.close()
 
+    def test_decode_big_block_bit_exact(self):
+        """1024B rate-1/2 exercises the fused-syndrome big-code driver
+        (_bp_loop_big: H_dense is None above ~512B): hard + soft,
+        exact outputs AND iteration counts vs the reference."""
+        cfg = _mk(1024, 1)
+        from libpoporon_tpu.models.ldpc import LDPCCodec
+        c = LDPCCodec(cfg)
+        assert c.H_dense is None  # the big-code driver must be in play
+        ref = oracle.LDPC(1024, 1)
+        rng = np.random.default_rng(77)
+        B = 3
+        info = rng.integers(0, 256, (B, c.info_bytes), dtype=np.uint8)
+        parity = np.asarray(c.encode(info))
+        cw = np.concatenate([info, parity], axis=1)
+        for b in range(B):
+            pos = rng.choice(c.codeword_bits, 6 * b, replace=False)
+            for p in pos:
+                cw[b, p // 8] ^= 1 << (7 - (p % 8))
+        ok, out, iters = map(np.asarray, c.decode_hard(cw))
+        for b in range(B):
+            rok, rcw, rit = ref.decode_hard(cw[b])
+            assert bool(ok[b]) == rok, f"b={b}"
+            np.testing.assert_array_equal(out[b], rcw)
+            assert int(iters[b]) == rit, f"b={b}"
+        # soft: true channel LLRs with enough noise to need iterations
+        from libpoporon_tpu.utils import bits as bitutils
+        cb = bitutils.unpack_np(cw, c.codeword_bits)
+        clean = np.where(cb == 1, -90.0, 90.0)
+        noisy = clean + rng.normal(0, 35.0, clean.shape)
+        llr = np.clip(np.round(noisy), -127, 127).astype(np.int8)
+        ok, out, iters = map(np.asarray, c.decode_soft(llr))
+        for b in range(B):
+            rok, rcw, rit = ref.decode_soft(llr[b])
+            assert bool(ok[b]) == rok, f"b={b}"
+            np.testing.assert_array_equal(out[b], rcw)
+            assert int(iters[b]) == rit, f"b={b}"
+        ref.close()
+
     def test_decode_hard_heavy_noise(self):
         """Non-converging inputs: best-effort output must match too."""
         cfg = _mk(32, 1)
