@@ -94,8 +94,12 @@ def _shard_run(dev_list, local_fn, arrays, out_specs):
     mesh = batch_mesh(dev_list)
     in_specs = tuple(P(BATCH_AXIS) if a.ndim == 1 else P(BATCH_AXIS, None)
                      for a in arrays)
+    # check_rep=False: the fused Pallas kernels' pallas_call outputs
+    # carry no vma (mesh-varying) metadata, which the replication
+    # checker rejects under shard_map on TPU; out_specs are explicit,
+    # so the check adds nothing here.
     step = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs))
+                             out_specs=out_specs, check_rep=False))
     sharded = [
         jax.device_put(a, NamedSharding(mesh, s))
         for a, s in zip(arrays, in_specs)

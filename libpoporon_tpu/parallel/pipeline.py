@@ -70,6 +70,8 @@ class ShardedCodec:
             mesh=mesh,
             in_specs=(P(BATCH_AXIS, None),),
             out_specs=(P(BATCH_AXIS), P(BATCH_AXIS, None), P(BATCH_AXIS), P(), P()),
+            # Pallas outputs carry no vma metadata; out_specs are explicit
+            check_rep=False,
         )
         def step(cw):
             ok, out, iters = ldpc._decode_hard(cw, max_it)
