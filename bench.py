@@ -185,8 +185,19 @@ def main():
     cnts = np.full(BATCH, 32, dtype=np.int32)
     ej, cj = jax.device_put(posb), jax.device_put(cnts)
     erj = jax.device_put(eras)
-    dt = time_fn(lambda a, b, e, c: rs._decode_erasure(a, b, e, c), erj, pj, ej, cj)
-    log({"bench": "rs_erasure_32", "codewords_per_s": BATCH / dt})
+    # rs.decode dispatches to the fused kernel's erasure path on TPU
+    dt = time_fn(lambda a, b, e, c: rs.decode(a, b, erasures=(e, c)),
+                 erj, pj, ej, cj)
+    log({"bench": "rs_erasure_32", "codewords_per_s": BATCH / dt,
+         "path": "pallas" if rs.pallas_dec is not None else "xla"})
+
+    # ---------------- RS external-syndrome decode ----------------
+    s_norm = np.asarray(rs._syndrome(dj, pj))
+    s_log = np.asarray(jax.device_get(rs.gf.exp2log)).astype(np.int32)[s_norm]
+    sj = jax.device_put(s_log)
+    dt = time_fn(lambda a, b, s: rs.decode(a, b, ext_syndrome=s), dj, pj, sj)
+    log({"bench": "rs_ext_syndrome", "codewords_per_s": BATCH / dt,
+         "path": "pallas" if rs.pallas_dec is not None else "xla"})
 
     # ---------------- BCH(15,5) batch ----------------
     # Production batch (131072): the rounds-1-4 B=10240 rows sat in

@@ -823,10 +823,11 @@ class LDPCCodec:
         )
 
     def _decode_hard_body(self, codeword_bytes, max_iterations):
-        if self._use_pallas(max_iterations) and self.inner_inv is None:
-            # packed fast path: unpack/LLR-build fuse into the kernel's
-            # blocked layout with transposes only on the packed bytes
-            # (ldpc_pallas.bp_packed_hard)
+        if self._use_pallas(max_iterations):
+            # packed fast path: unpack/LLR-build AND the inner
+            # deinterleaver fold into the kernel's in-kernel expansion
+            # (ldpc_pallas.bp_packed_hard); XLA touches only the
+            # packed bytes
             return self.pallas_kern.bp_packed_hard(
                 codeword_bytes, max_iterations
             )
@@ -842,13 +843,9 @@ class LDPCCodec:
         llr0_p = jnp.concatenate(
             [llr0, jnp.full((1, B), LLR_MAX, jnp.int16)], axis=0
         )
-        if self._use_pallas(max_iterations):
-            # the kernel derives conv0/bits internally (trip-1 precheck)
-            ok, out, iters = self.pallas_kern.bp(llr0_p, None, max_iterations)
-        else:
-            ok, out, iters = self._bp_loop(
-                llr0_p, None, bits_p8, conv0, max_iterations
-            )
+        ok, out, iters = self._bp_loop(
+            llr0_p, None, bits_p8, conv0, max_iterations
+        )
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     def _decode_soft(self, llr8, max_iterations):
@@ -864,8 +861,9 @@ class LDPCCodec:
 
     def _decode_soft_body(self, llr8, max_iterations):
         """llr8: [B, codeword_bits] int8 channel LLRs."""
-        if self._use_pallas(max_iterations) and self.inner_inv is None:
-            # packed fast path (see _decode_hard_body)
+        if self._use_pallas(max_iterations):
+            # packed fast path incl. the deinterleaver fold
+            # (see _decode_hard_body)
             return self.pallas_kern.bp_llr8_soft(llr8, max_iterations)
         work = llr8.astype(jnp.int32).T                        # [V, B]
         if self.inner_inv is not None:
@@ -887,12 +885,9 @@ class LDPCCodec:
         llr0 = jnp.clip(work_p * LLR_SCALE, LLR_MIN, LLR_MAX).astype(jnp.int16)
         bits0 = jnp.zeros_like(work_p, dtype=jnp.int8)
         conv0 = (work[0, :] * 0).astype(bool)  # soft path has no pre-check
-        if self._use_pallas(max_iterations):
-            ok, out, iters = self.pallas_kern.bp(llr0, channel, max_iterations)
-        else:
-            ok, out, iters = self._bp_loop(
-                llr0, channel, bits0, conv0, max_iterations
-            )
+        ok, out, iters = self._bp_loop(
+            llr0, channel, bits0, conv0, max_iterations
+        )
         return ok, self._pack_cw_T(out[: self.codeword_bits]), iters
 
     # ------------------------------------------- adaptive fused decode

@@ -78,9 +78,10 @@ double-buffering — the per-block decode takes ~1 ms, the DMA tens
 of microseconds), keeping peak VMEM to the state buffers.  Entry
 points: bp() takes the XLA path's var-major [V+1, B] LLR tensors;
 bp_packed_hard()/bp_llr8_soft() take packed codeword bytes / int8
-channel LLRs directly and keep every transpose on the packed
-representation (see the Packed-IO comment below) — the decode bodies
-use those whenever no inner interleaver is configured.
+channel LLRs directly, expand them in-kernel (transposes only ever
+touch the packed representation; the inner deinterleaver, when
+configured, folds into the static unpack mapping) — the decode bodies
+always use those; bp() remains the generic LLR-tensor entry.
 
 Scope: codes whose state fits VMEM — block_size <= ~192 bytes at
 BLK=1024 (the flagship 128-byte configs).  Larger codes fall back to
@@ -171,6 +172,14 @@ class BPPallasKernel:
         self.var_gather_np = vg
         self.var_gather = jnp.asarray(vg)
         self.stage_rows = max(self.c2v_size, self.dv * (self.V + 1))
+        # inner-interleaver fold: var v's packed-IO source position is
+        # deint[v] (out[v] = in[deint[v]], -1 = zero-fill — the gather
+        # form of deinterleave_bits/deinterleave_llr, ldpc.c:105-148);
+        # identity when the config has no inner interleaver
+        self.deint_np = (
+            np.asarray(structure.inner_deinterleave_gather, np.int64)
+            if structure.inner_forward is not None else None
+        )
 
     # ------------------------------------------------------------ kernel
 
@@ -210,40 +219,67 @@ class BPPallasKernel:
             cp = pltpu.make_async_copy(pk_hbm.at[i], pk_ref, sem_in)
             cp.start()
             cp.wait()
+            # source position per var: the inner deinterleaver folds
+            # into the (trace-time static) unpack mapping for free —
+            # interleaved configs ride the packed fast path too
+            src = (self.deint_np if self.deint_np is not None
+                   else np.arange(V, dtype=np.int64))
             if not soft:
-                # hard: bit j of byte cb -> var v = 8*cb + j (the
-                # unpack_jnp MSB-first stream contract); V may not be
-                # a byte multiple (parity slack bits are skipped)
-                ntiles = pk_ref.shape[0] // 32
-                for tl in range(ntiles):
+                # hard: var v reads input BIT src[v] (byte src//8, bit
+                # src%8 MSB-first — the unpack_jnp stream contract);
+                # src < 0 (deinterleave zero-fill) and parity slack
+                # bits land as bit 0
+                groups = {}
+                zero_vars = []
+                for v in range(V):
+                    s = int(src[v])
+                    if s < 0:
+                        zero_vars.append(v)
+                        continue
+                    groups.setdefault(s // 32, []).append(
+                        (v, (s // 8) % 4, s % 8))
+                for tl in sorted(groups):
                     w = pk_ref[32 * tl : 32 * (tl + 1), :].astype(jnp.int32)
-                    for q in range(4):
-                        cb = 4 * tl + q
-                        br = jax.lax.slice(w, (8 * q, 0), (8 * q + 8, LANES))
-                        for j in range(8):
-                            v = 8 * cb + j
-                            if v >= V:
-                                break
-                            bit = (br >> (7 - j)) & 1
-                            llr_ref[SUB * v : SUB * (v + 1), :] = jnp.where(
-                                bit == 1, jnp.int32(-LLR_INFINITY),
-                                jnp.int32(LLR_INFINITY))
+                    brs = [
+                        jax.lax.slice(w, (8 * q, 0), (8 * q + 8, LANES))
+                        for q in range(4)
+                    ]
+                    for v, q, j in groups[tl]:
+                        bit = (brs[q] >> (7 - j)) & 1
+                        llr_ref[SUB * v : SUB * (v + 1), :] = jnp.where(
+                            bit == 1, jnp.int32(-LLR_INFINITY),
+                            jnp.int32(LLR_INFINITY))
+                for v in zero_vars:
+                    llr_ref[SUB * v : SUB * (v + 1), :] = jnp.full(
+                        (SUB, LANES), LLR_INFINITY, jnp.int32)
             else:
-                # soft: int8 channel LLR row per var; channel = w * 256
-                # (|w| <= 127 -> |chan| <= 32512, ldpc.c:27), llr0 =
-                # clip(chan) — bit-identical to bp_llr8_soft's XLA prep
-                ntiles = pk_ref.shape[0] // 32
-                for tl in range(ntiles):
+                # soft: var v reads input LLR row src[v]; channel =
+                # w * 256 (|w| <= 127 -> |chan| <= 32512, ldpc.c:27),
+                # llr0 = clip(chan) — bit-identical to the XLA prep;
+                # src < 0 zero-fills (deinterleave_llr semantics)
+                groups = {}
+                zero_vars = []
+                for v in range(V):
+                    s = int(src[v])
+                    if s < 0:
+                        zero_vars.append(v)
+                        continue
+                    groups.setdefault(s // 4, []).append((v, s % 4))
+                for tl in sorted(groups):
                     w = pk_ref[32 * tl : 32 * (tl + 1), :].astype(jnp.int32)
-                    for q in range(4):
-                        v = 4 * tl + q
-                        if v >= V:
-                            break
-                        ch = jax.lax.slice(
-                            w, (8 * q, 0), (8 * q + 8, LANES)) * 256
-                        chan_ref[SUB * v : SUB * (v + 1), :] = ch
+                    chs = [
+                        jax.lax.slice(w, (8 * q, 0), (8 * q + 8, LANES)) * 256
+                        for q in range(4)
+                    ]
+                    for v, q in groups[tl]:
+                        chan_ref[SUB * v : SUB * (v + 1), :] = chs[q]
                         llr_ref[SUB * v : SUB * (v + 1), :] = jnp.clip(
-                            ch, LLR_MIN, LLR_MAX)
+                            chs[q], LLR_MIN, LLR_MAX)
+                for v in zero_vars:
+                    chan_ref[SUB * v : SUB * (v + 1), :] = jnp.zeros(
+                        (SUB, LANES), jnp.int32)
+                    llr_ref[SUB * v : SUB * (v + 1), :] = jnp.zeros(
+                        (SUB, LANES), jnp.int32)
                 # fake var channel: +LLR_MAX exactly (125 * 256)
                 chan_ref[SUB * V : SUB * (V + 1), :] = jnp.full(
                     (SUB, LANES), LLR_MAX, jnp.int32)
@@ -664,10 +700,11 @@ class BPPallasKernel:
         return out[:, :CBF]
 
     def bp_packed_hard(self, codeword_bytes, mi: int):
-        """Hard decode straight from packed bytes [B, ceil(V/8)] u8
-        (no inner interleaver — the caller dispatches).  Returns
-        (ok [B], packed_out [B, ceil(V/8)] u8, iters [B]).  Handles
-        V % 8 != 0 (rate 3/4|5/6 slack bits) via the byte stream."""
+        """Hard decode straight from packed bytes [B, ceil(V/8)] u8.
+        Returns (ok [B], packed_out [B, ceil(V/8)] u8, iters [B]).
+        Handles V % 8 != 0 (rate 3/4|5/6 slack bits) via the byte
+        stream, and folds the inner deinterleaver (when configured)
+        into the in-kernel unpack mapping."""
         CBF = (self.V + 7) // 8
         B = codeword_bytes.shape[0]
         Bp = ((B + BLK - 1) // BLK) * BLK
@@ -692,9 +729,11 @@ class BPPallasKernel:
         return ok[:B], out[:B], iters[:B]
 
     def bp_llr8_soft(self, llr8, mi: int):
-        """Soft decode straight from channel LLRs [B, V] int8 (no
-        inner interleaver).  Returns (ok, packed_out u8, iters);
-        LLR scaling is the reference's x256 (ldpc.c:27, 655-672)."""
+        """Soft decode straight from channel LLRs [B, V] int8.
+        Returns (ok, packed_out u8, iters); LLR scaling is the
+        reference's x256 (ldpc.c:27, 655-672); the inner
+        deinterleaver (when configured) folds into the in-kernel
+        expansion."""
         V = self.V
         B = llr8.shape[0]
         Bp = ((B + BLK - 1) // BLK) * BLK

@@ -277,6 +277,46 @@ def test_bp_pallas_soft_ragged(ldpc_pair):
     _assert_soft_equal(lc, kern, _soft_pair_inputs(lc, 300, rng), MI=5)
 
 
+def test_packed_path_interleaved_matches_xla():
+    """Interleaved configs ride the packed kernel entries too (the
+    inner deinterleaver folds into the in-kernel unpack mapping):
+    decode bodies with use_pallas on vs off must agree bit-exactly,
+    hard and soft, including iteration counts."""
+    base = dict(block_size=64, rate=LdpcRate.RATE_1_2,
+                use_inner_interleave=True, use_outer_interleave=True,
+                interleave_depth=0, seed=3)
+    lc_on = LDPCCodec(LdpcConfig(use_pallas="on", **base))
+    lc_off = LDPCCodec(LdpcConfig(use_pallas="off", **base))
+    assert lc_on.pallas_kern is not None and lc_on.inner_inv is not None
+    rng = np.random.default_rng(9)
+    B = 300
+    info = rng.integers(0, 256, (B, lc_on.info_bytes), dtype=np.uint8)
+    par = np.asarray(lc_on.encode(info))
+    cw = np.concatenate([info, par], axis=1)
+    # interleave like the facade does before corrupting
+    cw = np.asarray(lc_on.interleave(cw)).copy()
+    nerr = rng.integers(0, 6, B)
+    for i in range(B):
+        for pos in rng.choice(lc_on.codeword_bits, nerr[i], replace=False):
+            cw[i, pos // 8] ^= 1 << (7 - pos % 8)
+    ok_p, out_p, it_p = map(np.asarray, lc_on._decode_hard(cw, 9))
+    ok_x, out_x, it_x = map(np.asarray, lc_off._decode_hard(cw, 9))
+    assert (ok_p == ok_x).all()
+    assert (out_p == out_x).all()
+    assert (it_p == it_x).all()
+    # soft: channel LLRs in the INTERLEAVED domain (decode.c:509 path)
+    from libpoporon_tpu.utils import bits as bitutils
+    cb = bitutils.unpack_np(cw, lc_on.codeword_bits)
+    llr8 = np.where(cb == 1, -80, 80).astype(np.int8)
+    llr8 = (llr8 + rng.integers(-70, 71, llr8.shape)).clip(-127, 127)
+    llr8 = llr8.astype(np.int8)
+    ok_p, out_p, it_p = map(np.asarray, lc_on._decode_soft(llr8, 9))
+    ok_x, out_x, it_x = map(np.asarray, lc_off._decode_soft(llr8, 9))
+    assert (ok_p == ok_x).all()
+    assert (out_p == out_x).all()
+    assert (it_p == it_x).all()
+
+
 def test_facade_use_pallas_knob():
     """Config-level wiring: use_pallas='on' routes LDPCCodec decode
     bodies through the fused kernel (interpret mode off-TPU) and the
