@@ -268,6 +268,10 @@ def main():
     # plus one QC-matrix row.  Facade-level decode, hard inputs.
     from libpoporon_tpu.config import LdpcMatrixType
 
+    # dedicated generator: consuming `rng` here would shift the draws
+    # (error patterns, hence iteration tails) of every later row and
+    # break round-over-round comparability of the big-block rows
+    prng = np.random.default_rng(1234)
     preset_batch = 4096 if SMOKE else 65536
     for name, cfg in (
         ("ldpc_default_preset_128B",
@@ -279,8 +283,8 @@ def main():
                     matrix_type=LdpcMatrixType.QC_RANDOM)),
     ):
         fac = pp.create(cfg)
-        pinfo = rng.integers(0, 256, (preset_batch, fac.info_size),
-                             dtype=np.uint8)
+        pinfo = prng.integers(0, 256, (preset_batch, fac.info_size),
+                              dtype=np.uint8)
         enc = fac.encode(pinfo.copy())
         pd, ppar = np.asarray(enc.data), np.asarray(enc.parity)
         bad = pd.copy()

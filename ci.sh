@@ -56,13 +56,22 @@ echo "=== [5/5] bench smoke ==="
 PPTPU_BENCH_SMOKE=1 python bench.py >/dev/null
 echo "bench smoke: ok"
 
-if [[ "${PPTPU_CI_TPU:-0}" == "1" ]]; then
+# TPU legs (opt-in).  Wall-clock warning: every distinct kernel
+# geometry costs a ~40-60 s Mosaic compile on first sight (persisted
+# in .jax_cache, so REPEAT runs are minutes, first runs are not):
+#   PPTPU_CI_TPU=1       hardware gate — test_pallas.py only (the CPU
+#                        leg runs the kernels in interpret mode; this
+#                        proves they COMPILE and are bit-exact on the
+#                        chip).  ~10-15 min cold, ~3 min warm.
+#   PPTPU_CI_TPU=full    release gate — the whole suite on hardware.
+#                        ~25-40 min cold.
+if [[ "${PPTPU_CI_TPU:-0}" != "0" ]]; then
   echo "=== [extra] Pallas kernels compiled on real TPU ==="
-  # explicit first: the Pallas kernels must COMPILE on hardware (the
-  # CPU leg runs them in interpret mode only)
   PPTPU_TEST_PLATFORM=axon python -m pytest tests/test_pallas.py -q
-  echo "=== [extra] full pytest on real TPU ==="
-  PPTPU_TEST_PLATFORM=axon python -m pytest tests/ -q
+  if [[ "${PPTPU_CI_TPU}" == "full" ]]; then
+    echo "=== [extra] full pytest on real TPU ==="
+    PPTPU_TEST_PLATFORM=axon python -m pytest tests/ -q
+  fi
 fi
 
 echo "CI: all green"
