@@ -141,6 +141,9 @@ class BPPallasKernel:
         total = rows * SUB * LANES * 4                       # i32 state
         total += ((V + 1 + E_CHUNKS - 1) // E_CHUNKS) * SUB * LANES * 4
         total += 4 * maxP * SUB * LANES * 4                  # fold scratch
+        # packed-IO buffers (worst case: soft i8 input, one row per
+        # var, plus the output byte tiles)
+        total += (V + 1) * SUB * LANES + ((V + 7) // 8 + 4) * SUB * LANES
         # budget derived from the runtime device kind (utils/device.py);
         # unknown targets get a conservative 16 MiB -> XLA fallback
         return total <= _device.vmem_budget_bytes()
