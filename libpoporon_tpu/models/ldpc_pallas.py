@@ -83,11 +83,13 @@ touch the packed representation; the inner deinterleaver, when
 configured, folds into the static unpack mapping) — the decode bodies
 always use those; bp() remains the generic LLR-tensor entry.
 
-Scope: codes whose state fits VMEM — block_size <= ~192 bytes at
-BLK=1024 (the flagship 128-byte configs).  Larger codes fall back to
-the XLA path (models/ldpc.py); LDPCCodec picks per-structure via
-supports() (models/ldpc.py wiring; config.use_pallas overrides).
-Big-block design notes: benchmarks/PROFILING.md.
+Scope: codes whose state fits VMEM — up to ~144 bytes block size at
+rate 1/2 / BLK=1024 on a 128 MB-VMEM part (the flagship 128-byte
+configs; the exact cutoff is rate- and degree-dependent, decided by
+supports()).  Larger codes fall back to the XLA path (models/ldpc.py);
+LDPCCodec picks per-structure via supports() (models/ldpc.py wiring;
+config.use_pallas overrides).  Big-block measurements and the revised
+(negative) streaming-kernel assessment: benchmarks/PROFILING.md.
 """
 
 from __future__ import annotations
